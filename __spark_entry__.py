@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: images -> cell-encode -> PIP join against the
+                 polygon layer -> tile assignment -> per-polygon rollup.
+queries()      — operator catalogue (util_gis_spark.queries).
+oracle_sql()   — DuckDB oracle twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from util_gis_spark import datasets as D  # noqa: E402
+from util_gis_spark import queries as Q  # noqa: E402
+from util_gis_spark.operators import joins  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: spatial join +
+    tile assignment over the image+caption table (the BASELINE.json
+    headline pipeline), rolled up per polygon."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    images = D.images(spark, sf_dir)
+    polys = D.polygons_wkt(spark, sf_dir)
+    joined = joins.pip_join_broadcast(images, polys)
+    tiled = joins.tile_assignment(joined, res=16)
+    return (
+        tiled.groupBy("polygon_id")
+        .agg(
+            F.countDistinct("image_key").alias("n_images"),
+            F.countDistinct("tile").alias("n_tiles"),
+            F.count("*").alias("n_assignments"),
+        )
+        .orderBy("polygon_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.catalogue()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracles()

@@ -1,0 +1,185 @@
+"""Deterministic derived views over the driver's test tables.
+
+The reference consumes GPS trajectories (device_id, ts, lon, lat,
+speed, gps_status, job_status — Wgs84Point, pojo/Wgs84Point.java:43-155)
+and the north_rule mandates an image+caption input table
+(image_id, bytes, w, h, fmt, caption, phash). Neither exists verbatim
+in /root/testdata, so both are DERIVED deterministically — with pure
+integer/float arithmetic, no engine-specific hashing — from the
+driver's `events` / `documents` / `nation` tables. Every derivation
+exists twice, as a Spark DataFrame builder AND as ANSI-SQL text (the
+DuckDB oracle re-derives the identical view), so queries over these
+views are value-hash comparable end-to-end.
+
+Geometry of the synthetic world: all GPS points and image footprints
+live in [116.0, 116.4) x [39.5, 39.9) (a ~34 x 44 km box near Beijing,
+inside Gauss-Krüger zone 50); the polygon layer is a 5x5 grid of
+0.07-degree rectangles with 0.01-degree gaps, so points in gaps match
+no polygon. 30% of images are concentrated in a 0.01-degree hot spot
+(dense-urban-cell skew per north_rule — exercises salting/AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- gps_points
+# device_id = user_id % 50; coordinates quantized on a k%2000 lattice so
+# exact (lon,lat) duplicates exist (exercises filterWgs84Points' dup-drop,
+# G:10933-10940); statuses cycle through invalid values to exercise the
+# 5-rule quality filter (G:10886-10947).
+
+def gps_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    kq = k % 2000
+    return e.select(
+        (F.col("user_id") % 50).alias("device_id"),
+        F.col("ts"),
+        (116.0 + ((kq * 7919) % 100000) / 250000.0).alias("lon"),
+        (39.5 + ((kq * 104729) % 100000) / 250000.0).alias("lat"),
+        F.when(k % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(((k * 31) % 2500) / 100.0)
+        .alias("speed"),
+        (k % 5).cast("int").alias("gps_status"),
+        (F.floor(k / 5) % 4).cast("int").alias("job_status"),
+        k.alias("point_id"),
+    )
+
+
+GPS_POINTS_SQL = """
+SELECT
+  user_id % 50                                         AS device_id,
+  ts                                                   AS ts,
+  116.0 + (((event_id % 2000) * 7919)   % 100000) / 250000.0 AS lon,
+  39.5  + (((event_id % 2000) * 104729) % 100000) / 250000.0 AS lat,
+  CASE WHEN event_id % 17 = 0 THEN NULL
+       ELSE ((event_id * 31) % 2500) / 100.0 END       AS speed,
+  CAST(event_id % 5 AS INTEGER)                        AS gps_status,
+  CAST(CAST(floor(event_id / 5) AS BIGINT) % 4 AS INTEGER) AS job_status,
+  event_id                                             AS point_id
+FROM events
+"""
+
+
+# ------------------------------------------------------------------- images
+# Iceberg-style image+caption table per BASELINE.json input_hint:
+# (image_id, bytes, w, h, fmt, caption, phash) + derived footprint lon/lat.
+# `bytes` is a deterministic pseudo-image (see images_with_bytes) and is
+# excluded from oracle-compared projections.
+
+def images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    hot = (k % 10) < 3
+    return d.select(
+        k.alias("image_key"),
+        k.cast("string").alias("image_id"),
+        (64 + (k % 960)).cast("int").alias("w"),
+        (64 + ((k * 31) % 960)).cast("int").alias("h"),
+        F.when(k % 3 == 0, "png").when(k % 3 == 1, "jpg").otherwise("webp").alias("fmt"),
+        F.col("text").alias("caption"),
+        ((k * 2654435761) % 281474976710656).alias("phash"),
+        F.when(hot, 116.20 + ((k * 7919) % 1000) / 100000.0)
+        .otherwise(116.0 + ((k * 48271) % 40000) / 100000.0)
+        .alias("lon"),
+        F.when(hot, 39.70 + ((k * 104729) % 1000) / 100000.0)
+        .otherwise(39.5 + ((k * 69621) % 40000) / 100000.0)
+        .alias("lat"),
+    )
+
+
+IMAGES_SQL = """
+SELECT
+  doc_id                                            AS image_key,
+  CAST(doc_id AS VARCHAR)                           AS image_id,
+  CAST(64 + (doc_id % 960) AS INTEGER)              AS w,
+  CAST(64 + ((doc_id * 31) % 960) AS INTEGER)       AS h,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+  text                                              AS caption,
+  (doc_id * 2654435761) % 281474976710656           AS phash,
+  CASE WHEN doc_id % 10 < 3
+       THEN 116.20 + ((doc_id * 7919)  % 1000)  / 100000.0
+       ELSE 116.0  + ((doc_id * 48271) % 40000) / 100000.0 END AS lon,
+  CASE WHEN doc_id % 10 < 3
+       THEN 39.70 + ((doc_id * 104729) % 1000)  / 100000.0
+       ELSE 39.5  + ((doc_id * 69621)  % 40000) / 100000.0 END AS lat
+FROM documents
+"""
+
+
+def images_with_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """images + a deterministic `bytes` binary column (pseudo-image:
+    the repeated md5 of the image_id — stands in for encoded pixels;
+    real decode is stubbed, see operators/images.py). Kept out of the
+    oracle-compared views; used by the bench and the PSNR plumbing."""
+    return images(spark, sf_dir).withColumn(
+        "bytes",
+        F.to_binary(F.repeat(F.md5(F.col("image_id")), 8), F.lit("hex")),
+    )
+
+
+# ----------------------------------------------------------------- polygons
+# 5x5 rectangle grid derived from `nation` (25 rows). Rectangles make the
+# exact containment predicate SQL-expressible for the oracle while the
+# engine still runs its generic cell-join + ray-cast refine path.
+
+# The 1.7e-6 offset keeps rectangle edges OFF the coordinate lattice
+# (gps lon/lat are multiples of 4e-6, image footprints of 1e-5), so no
+# point ever lies exactly on a boundary — strict-interior containment
+# (reference `contains`, boundary=false) is then unambiguous in both
+# the ray-cast refine and the SQL oracle.
+_EDGE_OFF = 1.7e-6
+
+
+def polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("long")
+    xmin = 116.0 + (key % 5) * 0.08 + _EDGE_OFF
+    ymin = 39.5 + F.floor(key / 5) * 0.08 + _EDGE_OFF
+    return n.select(
+        key.alias("polygon_id"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 0.07).alias("xmax"),
+        (ymin + 0.07).alias("ymax"),
+    )
+
+
+POLYGONS_SQL = f"""
+SELECT
+  CAST(n_nationkey AS BIGINT)                              AS polygon_id,
+  116.0 + (CAST(n_nationkey AS BIGINT) % 5) * 0.08 + {_EDGE_OFF!r}        AS xmin,
+  39.5 + CAST(floor(n_nationkey / 5) AS BIGINT) * 0.08 + {_EDGE_OFF!r}    AS ymin,
+  116.0 + (CAST(n_nationkey AS BIGINT) % 5) * 0.08 + {_EDGE_OFF!r} + 0.07 AS xmax,
+  39.5 + CAST(floor(n_nationkey / 5) AS BIGINT) * 0.08 + {_EDGE_OFF!r} + 0.07 AS ymax
+FROM nation
+"""
+
+
+def polygons_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon layer with a WKT column — the shape the generic engine
+    operators consume (they never see xmin/xmax, only geometry)."""
+    p = polygons(spark, sf_dir)
+    return p.withColumn(
+        "wkt",
+        F.concat(
+            F.lit("POLYGON (("),
+            F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
+            F.col("xmax"), F.lit(" "), F.col("ymin"), F.lit(", "),
+            F.col("xmax"), F.lit(" "), F.col("ymax"), F.lit(", "),
+            F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
+            F.col("xmin"), F.lit(" "), F.col("ymin"),
+            F.lit("))"),
+        ),
+    )

@@ -1,0 +1,113 @@
+"""Hierarchical quadkey cell index (H3/S2-style) over lon/lat.
+
+The distributed replacement for the reference's in-memory STRtree
+(GisUtil G:5736-5936, G:13722): an equi-join on cell ids is the
+set-oriented form of the reference's envelope query. The index is a
+plain equirectangular quadtree — at resolution r the world splits into
+2^r x 2^r cells; a cell id packs (res, ix, iy) into one int64:
+
+    id = res * 2^54 + ix * 2^27 + iy          (res <= 20 => ix, iy < 2^27)
+
+Chosen over Morton interleaving deliberately: encode/decode is pure
+floor arithmetic, so the SAME formula is expressible as a Spark Column
+expression (JVM-side, codegen), as ANSI SQL for the DuckDB oracle, and
+as numpy — the three implementations are kept in this one module so
+they cannot drift. Hierarchy: parent = (res-1, ix>>1, iy>>1); a
+bbox cover is the ix/iy rectangle of cells. At 10^12-row scale the
+table is range/hash-partitioned on this id; resolution picks the
+join fan-out (docs in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_SHIFT = 2**54
+IX_SHIFT = 2**27
+MAX_RES = 20
+# ~ meters per cell east-west at lat 40 for reference: res 12 -> ~7 km,
+# res 14 -> ~1.8 km, res 16 -> ~430 m, res 18 -> ~110 m.
+DEFAULT_RES = 14
+
+
+def _nx(res: int) -> int:
+    return 1 << res
+
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Cell id as a pure Column expression (no UDF)."""
+    n = float(_nx(res))
+    ix = F.least(F.floor((lon + 180.0) / 360.0 * n), F.lit(n - 1)).cast("long")
+    ix = F.greatest(ix, F.lit(0).cast("long"))
+    iy = F.least(F.floor((lat + 90.0) / 180.0 * n), F.lit(n - 1)).cast("long")
+    iy = F.greatest(iy, F.lit(0).cast("long"))
+    return (F.lit(res).cast("long") * F.lit(RES_SHIFT) + ix * F.lit(IX_SHIFT) + iy).alias("cell")
+
+
+def cell_sql(lon: str, lat: str, res: int) -> str:
+    """Identical formula as ANSI SQL (DuckDB oracle)."""
+    n = float(_nx(res))
+    ix = f"greatest(least(cast(floor((({lon})+180.0)/360.0*{n}) as bigint), {int(n) - 1}), 0)"
+    iy = f"greatest(least(cast(floor((({lat})+90.0)/180.0*{n}) as bigint), {int(n) - 1}), 0)"
+    return f"(cast({res} as bigint)*{RES_SHIFT} + {ix}*{IX_SHIFT} + {iy})"
+
+
+def np_cell(lon, lat, res: int) -> np.ndarray:
+    n = _nx(res)
+    ix = np.clip(np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return np.int64(res) * RES_SHIFT + ix * IX_SHIFT + iy
+
+
+def np_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell // RES_SHIFT
+    rem = cell % RES_SHIFT
+    return res.astype(np.int64), (rem // IX_SHIFT).astype(np.int64), (rem % IX_SHIFT).astype(np.int64)
+
+
+def cell_bounds(cell: int) -> tuple[float, float, float, float]:
+    """(lon_min, lat_min, lon_max, lat_max) of a cell."""
+    res, ix, iy = (int(v) for v in np_decode(np.int64(cell)))
+    n = _nx(res)
+    w, h = 360.0 / n, 180.0 / n
+    return -180.0 + ix * w, -90.0 + iy * h, -180.0 + (ix + 1) * w, -90.0 + (iy + 1) * h
+
+
+def parent(cell, steps: int = 1) -> np.ndarray:
+    res, ix, iy = np_decode(cell)
+    r2 = np.maximum(res - steps, 0)
+    return r2 * RES_SHIFT + (ix >> steps) * IX_SHIFT + (iy >> steps)
+
+
+def neighbors(cell: int, ring: int = 1) -> np.ndarray:
+    """All cells within `ring` steps (Chebyshev) incl. the cell itself,
+    with east-west wraparound; used by the kNN ring expansion."""
+    res, ix, iy = (int(v) for v in np_decode(np.int64(cell)))
+    n = _nx(res)
+    out = []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            jy = iy + dy
+            if jy < 0 or jy >= n:
+                continue
+            jx = (ix + dx) % n
+            out.append(res * RES_SHIFT + jx * IX_SHIFT + jy)
+    return np.array(sorted(set(out)), dtype=np.int64)
+
+
+def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int) -> np.ndarray:
+    """All cells intersecting the bbox — the raster<->vector tiling
+    primitive: a polygon's covering cell set is cover_bbox of its
+    envelope (coarse) refined by exact intersection where needed."""
+    n = _nx(res)
+    ix0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
+    ix1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * n), 0, n - 1))
+    iy0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * n), 0, n - 1))
+    iy1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * n), 0, n - 1))
+    ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(ixs, iys, indexing="ij")
+    return (np.int64(res) * RES_SHIFT + gx.ravel() * IX_SHIFT + gy.ravel()).astype(np.int64)

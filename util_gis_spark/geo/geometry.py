@@ -1,0 +1,274 @@
+"""Minimal pure-numpy vector geometry: WKT, point-in-polygon, area,
+segment distance, Douglas-Peucker. No GEOS in this environment — these
+kernels power the refine phase of the spatial joins and the geometry
+UDFs. Semantics follow the reference (GisUtil):
+
+- WKT is the wire format for polygons in & out (G:11402, G:11829).
+- `contains` is strict-interior (boundary excluded), matching JTS
+  Geometry.contains used at G:5916 / G:11197-11216.
+- 4-D array export double[geom][ring][point][2] (G:10649-10809).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# ------------------------------------------------------------------- WKT
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
+
+
+def _parse_ring(text: str) -> np.ndarray:
+    pts = _PAIR_RE.findall(text)
+    return np.array([[float(a), float(b)] for a, b in pts], dtype=np.float64)
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a parenthesized list body on top-level commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return parts
+
+
+def parse_wkt(wkt: str):
+    """Parse WKT -> (type, data).
+
+    POINT -> (1,2) array; LINESTRING -> (N,2); POLYGON -> [rings];
+    MULTIPOLYGON -> [[rings], ...]; GEOMETRYCOLLECTION -> list of
+    (type, data). Empty/invalid -> ("EMPTY", None), mirroring the
+    reference's degrade-to-EMPTY_GEOMETRY contract (G:11353-11358).
+    """
+    if not wkt:
+        return "EMPTY", None
+    s = wkt.strip()
+    m = re.match(r"^\s*([A-Za-z]+)\s*(.*)$", s, re.S)
+    if not m:
+        return "EMPTY", None
+    typ = m.group(1).upper()
+    rest = m.group(2).strip()
+    if rest.upper().startswith("EMPTY") or not rest:
+        return "EMPTY", None
+    if not (rest.startswith("(") and rest.endswith(")")):
+        return "EMPTY", None
+    body = rest[1:-1]
+    try:
+        if typ == "POINT":
+            return typ, _parse_ring(body)[0]
+        if typ in ("LINESTRING", "MULTIPOINT"):
+            return typ, _parse_ring(body)
+        if typ == "POLYGON":
+            rings = [_parse_ring(r.strip().strip("()")) for r in _split_top_level(body)]
+            return typ, rings
+        if typ == "MULTILINESTRING":
+            return typ, [_parse_ring(r.strip().strip("()")) for r in _split_top_level(body)]
+        if typ == "MULTIPOLYGON":
+            polys = []
+            for poly in _split_top_level(body):
+                inner = poly.strip()
+                inner = inner[1:-1] if inner.startswith("(") else inner
+                polys.append([_parse_ring(r.strip().strip("()")) for r in _split_top_level(inner)])
+            return typ, polys
+        if typ == "GEOMETRYCOLLECTION":
+            return typ, [parse_wkt(g.strip()) for g in _split_top_level(body)]
+    except (ValueError, IndexError):
+        return "EMPTY", None
+    return "EMPTY", None
+
+
+def _fmt(v: float) -> str:
+    return repr(float(v))
+
+
+def ring_wkt(ring: np.ndarray) -> str:
+    return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")"
+
+
+def polygon_wkt(rings: list[np.ndarray]) -> str:
+    return "POLYGON (" + ", ".join(ring_wkt(r) for r in rings) + ")"
+
+
+def multipolygon_wkt(polys: list[list[np.ndarray]]) -> str:
+    if not polys:
+        return "MULTIPOLYGON EMPTY"
+    return "MULTIPOLYGON (" + ", ".join("(" + ", ".join(ring_wkt(r) for r in p) + ")" for p in polys) + ")"
+
+
+def close_ring(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+def wkt_to_4d_array(wkt: str) -> list:
+    """double[geom][ring][point][2] export for all OGC types
+    (G:10649-10809). Points/lines become single-ring geoms."""
+    typ, data = parse_wkt(wkt)
+    if typ == "EMPTY":
+        return []
+    if typ == "POINT":
+        return [[[list(map(float, data))]]]
+    if typ in ("LINESTRING", "MULTIPOINT"):
+        return [[data.tolist()]]
+    if typ == "MULTILINESTRING":
+        return [[r.tolist()] for r in data]
+    if typ == "POLYGON":
+        return [[r.tolist() for r in data]]
+    if typ == "MULTIPOLYGON":
+        return [[r.tolist() for r in poly] for poly in data]
+    if typ == "GEOMETRYCOLLECTION":
+        out = []
+        for sub in data:
+            out.extend(wkt_to_4d_array_from_parsed(sub))
+        return out
+    return []
+
+
+def wkt_to_4d_array_from_parsed(parsed) -> list:
+    typ, data = parsed
+    if typ == "EMPTY":
+        return []
+    if typ == "POINT":
+        return [[[list(map(float, data))]]]
+    if typ in ("LINESTRING", "MULTIPOINT"):
+        return [[data.tolist()]]
+    if typ == "MULTILINESTRING":
+        return [[r.tolist()] for r in data]
+    if typ == "POLYGON":
+        return [[r.tolist() for r in data]]
+    if typ == "MULTIPOLYGON":
+        return [[r.tolist() for r in poly] for poly in data]
+    return []
+
+
+# --------------------------------------------------------- point in polygon
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: True iff point strictly inside
+    the ring. Points exactly on an edge are NOT guaranteed inside —
+    matching the reference's strict-interior contains (boundary=false,
+    G:11197-11216). Shape: px,py (M,), ring (N,2) closed or open."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    if not (ring[0] == ring[-1]).all():
+        x1 = np.append(x1, ring[-1, 0]); y1 = np.append(y1, ring[-1, 1])
+        x2 = np.append(x2, ring[0, 0]); y2 = np.append(y2, ring[0, 1])
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    crossings = np.sum(cond & (px < xint), axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Polygon-with-holes containment: inside exterior and not inside
+    any hole."""
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    return inside
+
+
+def points_in_multipolygon(px, py, polys: list[list[np.ndarray]]) -> np.ndarray:
+    out = np.zeros(len(np.atleast_1d(px)), dtype=bool)
+    for rings in polys:
+        out |= points_in_polygon(px, py, rings)
+    return out
+
+
+def points_in_geom(px, py, wkt_or_parsed) -> np.ndarray:
+    parsed = parse_wkt(wkt_or_parsed) if isinstance(wkt_or_parsed, str) else wkt_or_parsed
+    typ, data = parsed
+    n = len(np.atleast_1d(px))
+    if typ == "POLYGON":
+        return points_in_polygon(px, py, data)
+    if typ == "MULTIPOLYGON":
+        return points_in_multipolygon(px, py, data)
+    if typ == "GEOMETRYCOLLECTION":
+        out = np.zeros(n, dtype=bool)
+        for sub in data:
+            if sub[0] in ("POLYGON", "MULTIPOLYGON"):
+                out |= points_in_geom(px, py, sub)
+        return out
+    return np.zeros(n, dtype=bool)
+
+
+def geom_envelope(parsed) -> tuple[float, float, float, float] | None:
+    typ, data = parsed
+    coords = []
+    if typ == "EMPTY":
+        return None
+    if typ == "POINT":
+        coords = [data.reshape(1, 2)]
+    elif typ in ("LINESTRING", "MULTIPOINT"):
+        coords = [data]
+    elif typ in ("POLYGON", "MULTILINESTRING"):
+        coords = list(data)
+    elif typ == "MULTIPOLYGON":
+        coords = [r for poly in data for r in poly]
+    elif typ == "GEOMETRYCOLLECTION":
+        envs = [geom_envelope(s) for s in data]
+        envs = [e for e in envs if e]
+        if not envs:
+            return None
+        e = np.array(envs)
+        return float(e[:, 0].min()), float(e[:, 1].min()), float(e[:, 2].max()), float(e[:, 3].max())
+    if not coords:
+        return None
+    allc = np.vstack(coords)
+    return float(allc[:, 0].min()), float(allc[:, 1].min()), float(allc[:, 0].max()), float(allc[:, 1].max())
+
+
+# ------------------------------------------------------------------ misc
+def shoelace_area(ring: np.ndarray) -> float:
+    """Planar signed area x2 -> abs/2 (used on Gauss-plane coords)."""
+    r = close_ring(np.asarray(ring, dtype=np.float64))
+    x, y = r[:, 0], r[:, 1]
+    return float(abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])) / 2.0)
+
+
+def point_segment_dist(px, py, ax, ay, bx, by):
+    """Vectorized distance from points to a segment."""
+    px, py = np.asarray(px, np.float64), np.asarray(py, np.float64)
+    dx, dy = bx - ax, by - ay
+    den = dx * dx + dy * dy
+    if den == 0:
+        return np.hypot(px - ax, py - ay)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / den, 0.0, 1.0)
+    return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative DP simplification (reference caps vertex counts with
+    DouglasPeuckerSimplifier at G:1283/G:2456/G:2591)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[i + 1 : j]
+        d = point_segment_dist(seg[:, 0], seg[:, 1], pts[i, 0], pts[i, 1], pts[j, 0], pts[j, 1])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return pts[keep]

@@ -1,0 +1,407 @@
+"""Driver-facing query catalogue: each entry is a Spark pipeline built
+from the engine's operators PLUS an ANSI-SQL oracle twin (DuckDB) that
+restates the *semantics* (never the implementation) over the same
+parquet tables. Column names/aliases are kept identical on both sides
+— the driver hash-compares values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import datasets as D
+from .geo import cells
+from .geo.sphere import (
+    haversine_m,
+    haversine_sql,
+    heading_deg,
+    heading_sql,
+    in_circle,
+    in_circle_sql,
+    in_rectangle,
+    in_rectangle_sql,
+)
+from .operators import filters, joins, trajectory
+
+# Geofence constants (inside the synthetic world box)
+_CIRCLE = (116.2, 39.7, 5000.0)  # clon, clat, radius_m
+_RECT = (116.05, 39.55, 116.25, 39.75)
+_TILE_RES = 16
+_PIP_RES = 14
+
+
+def _with(views: dict[str, str], body: str) -> str:
+    w = ",\n".join(f"{k} AS ({v})" for k, v in views.items())
+    return f"WITH {w}\n{body}"
+
+
+# --------------------------------------------------------------------- GPS
+def q_gps_filter_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+
+
+def q_gps_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.speed_filter(filters.filter_wgs84_points(D.gps_points(spark, sf_dir)))
+
+
+def _filtered_sql() -> str:
+    return filters.FILTER_WGS84_SQL_TEMPLATE.format(src=D.GPS_POINTS_SQL)
+
+
+def q_gps_mileage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory.great_circle_mileage(
+        filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    )
+
+
+def q_gps_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory.session_summary(
+        filters.filter_wgs84_points(D.gps_points(spark, sf_dir)), max_gap_s=300
+    )
+
+
+def q_gps_modal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory.modal_interval(filters.filter_wgs84_points(D.gps_points(spark, sf_dir)))
+
+
+def q_gps_speed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory.speed_histogram(D.gps_points(spark, sf_dir))
+
+
+def q_gps_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device counts inside a circle geofence (strict < r,
+    G:11116-11124) and an open rectangle (G:11267-11303)."""
+    pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    lon, lat = F.col("lon"), F.col("lat")
+    return pts.groupBy("device_id").agg(
+        F.sum(in_circle(lon, lat, *_CIRCLE).cast("long")).alias("n_in_circle"),
+        F.sum(in_rectangle(lon, lat, *_RECT).cast("long")).alias("n_in_rect"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def q_gps_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step forward azimuth (G:10277-10307), rounded to 4 dp."""
+    pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    w = Window.partitionBy("device_id").orderBy("ts", "point_id")
+    stepped = (
+        pts.withColumn("prev_lon", F.lag("lon").over(w))
+        .withColumn("prev_lat", F.lag("lat").over(w))
+        .filter(F.col("prev_lon").isNotNull())
+    )
+    return stepped.select(
+        "device_id",
+        "point_id",
+        F.round(
+            heading_deg(F.col("prev_lon"), F.col("prev_lat"), F.col("lon"), F.col("lat")), 4
+        ).alias("heading_deg"),
+    )
+
+
+# ------------------------------------------------------------------- images
+def q_images_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship coarse+refine PIP join (cell equi-join flavor):
+    every (image, containing polygon) pair."""
+    res = joins.pip_join_cells(
+        D.images(spark, sf_dir), D.polygons_wkt(spark, sf_dir), res=_PIP_RES
+    )
+    return res.select("image_key", "polygon_id")
+
+
+def q_images_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join (broadcast flavor) aggregated per polygon."""
+    res = joins.pip_join_broadcast(D.images(spark, sf_dir), D.polygons_wkt(spark, sf_dir))
+    return res.groupBy("polygon_id").agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("fmt").alias("n_fmts"),
+    )
+
+
+def q_images_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<->vector tiling: (image, covering tile) pairs."""
+    return joins.tile_assignment(D.images(spark, sf_dir), res=_TILE_RES).select(
+        "image_key", "tile"
+    )
+
+
+def q_images_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        joins.tile_assignment(D.images(spark, sf_dir), res=_TILE_RES)
+        .groupBy("tile")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+def _polygon_centers(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    rows = D.polygons(spark, sf_dir).collect()
+    return [
+        (int(r["polygon_id"]), (r["xmin"] + r["xmax"]) / 2.0, (r["ymin"] + r["ymax"]) / 2.0)
+        for r in rows
+    ]
+
+
+def q_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest polygon-center per probe image (kNN join, k=1)."""
+    probes = D.images(spark, sf_dir).filter(F.col("image_key") % 7 == 0)
+    out = joins.knn_join_broadcast(probes, _polygon_centers(spark, sf_dir))
+    return out.select("probe_id", "nearest_id", F.round("dist_m", 3).alias("dist_m"))
+
+
+# ---------------------------------------------------------------- documents
+def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, keeper = min doc_id."""
+    d = D.load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups")
+    )
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword ratios)."""
+    d = D.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    stop = F.filter(
+        toks, lambda x: x.isin("the", "a", "and", "of", "to", "in", "is", "it")
+    )
+    n_tokens = F.size(toks)
+    punct_n = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 50.0)
+        * (1.0 - punct_n / F.greatest(F.length("text"), F.lit(1)))
+        * (1.0 - F.size(stop) / F.greatest(n_tokens, F.lit(1))),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_n.alias("punct_n"),
+        F.size(stop).alias("stop_n"),
+        quality.alias("quality"),
+    )
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword/charset n-gram heuristic) and
+    agreement with the labeled lang column."""
+    d = D.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    en_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "is")))
+    de_stop = F.size(F.filter(toks, lambda x: x.isin("der", "die", "das", "und", "ist")))
+    es_stop = F.size(F.filter(toks, lambda x: x.isin("el", "la", "los", "que", "es")))
+    zh_chars = F.length(F.regexp_replace("text", "[^一-龥]", ""))
+    pred = (
+        F.when(zh_chars > 0, "zh")
+        .when((de_stop > en_stop) & (de_stop > es_stop), "de")
+        .when((es_stop > en_stop) & (es_stop >= de_stop), "es")
+        .when(en_stop > 0, "en")
+        .otherwise("other")
+    )
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), (pred == F.col("lang")).alias("agree")
+    )
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit-ish document fingerprint from md5 (hash-based doc id)."""
+    d = D.load(spark, sf_dir, "documents")
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return d.select("doc_id", fp.alias("fp"))
+
+
+# --------------------------------------------------------------- embeddings
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for probe vectors
+    (vec_id % 100 == 0), excluding self. JVM-side higher-order
+    functions — no UDF."""
+    e = D.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    joined = probes.crossJoin(e).filter(F.col("probe_id") != F.col("vec_id"))
+    scored = joined.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot / (norm(F.col("pv")) * norm(F.col("v"))), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).drop("rk")
+
+
+# =============================================================== catalogues
+def catalogue() -> dict:
+    return {
+        "gps_filter_points": q_gps_filter_points,
+        "gps_speed_filter": q_gps_speed_filter,
+        "gps_mileage": q_gps_mileage,
+        "gps_sessions": q_gps_sessions,
+        "gps_modal_interval": q_gps_modal_interval,
+        "gps_speed_histogram": q_gps_speed_histogram,
+        "gps_geofence": q_gps_geofence,
+        "gps_headings": q_gps_headings,
+        "images_pip_join": q_images_pip_join,
+        "images_pip_counts": q_images_pip_counts,
+        "images_tile_cover": q_images_tile_cover,
+        "images_tile_counts": q_images_tile_counts,
+        "images_knn": q_images_knn,
+        "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "embed_topk": q_embed_topk,
+    }
+
+
+def oracles() -> dict[str, str]:
+    pts = {"pts": D.GPS_POINTS_SQL, "fpts": _filtered_sql()}
+    img = {"img": D.IMAGES_SQL}
+    pol = {"pol": D.POLYGONS_SQL}
+    hv = haversine_sql
+
+    knn_body = f"""
+SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
+  SELECT i.image_key AS probe_id, p.polygon_id AS nearest_id,
+         {hv('i.lon', 'i.lat', '(p.xmin+p.xmax)/2.0', '(p.ymin+p.ymax)/2.0')} AS dist_m,
+         row_number() OVER (
+           PARTITION BY i.image_key
+           ORDER BY {hv('i.lon', 'i.lat', '(p.xmin+p.xmax)/2.0', '(p.ymin+p.ymax)/2.0')}, p.polygon_id
+         ) AS rk
+  FROM img i, pol p WHERE i.image_key % 7 = 0
+) WHERE rk = 1
+"""
+
+    return {
+        "gps_filter_points": _with(pts, "SELECT * FROM fpts"),
+        "gps_speed_filter": _with(
+            pts, filters.speed_filter_sql("SELECT * FROM fpts")
+        ),
+        "gps_mileage": _with(pts, trajectory.great_circle_mileage_sql("SELECT * FROM fpts")),
+        "gps_sessions": _with(pts, trajectory.session_summary_sql("SELECT * FROM fpts", 300)),
+        "gps_modal_interval": _with(pts, trajectory.modal_interval_sql("SELECT * FROM fpts")),
+        "gps_speed_histogram": _with(
+            {"pts": D.GPS_POINTS_SQL}, trajectory.speed_histogram_sql("SELECT * FROM pts")
+        ),
+        "gps_geofence": _with(
+            pts,
+            f"""
+SELECT device_id,
+       sum(CASE WHEN {in_circle_sql('lon', 'lat', *_CIRCLE)} THEN 1 ELSE 0 END) AS n_in_circle,
+       sum(CASE WHEN {in_rectangle_sql('lon', 'lat', *_RECT)} THEN 1 ELSE 0 END) AS n_in_rect,
+       count(*) AS n_points
+FROM fpts GROUP BY device_id
+""",
+        ),
+        "gps_headings": _with(
+            pts,
+            f"""
+SELECT device_id, point_id,
+       round({heading_sql('prev_lon', 'prev_lat', 'lon', 'lat')}, 4) AS heading_deg
+FROM (
+  SELECT device_id, point_id, lon, lat,
+         lag(lon) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS prev_lon,
+         lag(lat) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS prev_lat
+  FROM fpts
+) WHERE prev_lon IS NOT NULL
+""",
+        ),
+        "images_pip_join": _with(
+            {**img, **pol},
+            """
+SELECT i.image_key, p.polygon_id
+FROM img i JOIN pol p
+  ON i.lon > p.xmin AND i.lon < p.xmax AND i.lat > p.ymin AND i.lat < p.ymax
+""",
+        ),
+        "images_pip_counts": _with(
+            {**img, **pol},
+            """
+SELECT p.polygon_id, count(*) AS n_images, count(DISTINCT i.fmt) AS n_fmts
+FROM img i JOIN pol p
+  ON i.lon > p.xmin AND i.lon < p.xmax AND i.lat > p.ymin AND i.lat < p.ymax
+GROUP BY p.polygon_id
+""",
+        ),
+        "images_tile_cover": _with(
+            img,
+            "SELECT image_key, tile FROM ("
+            + joins.tile_assignment_sql("SELECT * FROM img", _TILE_RES)
+            + ")",
+        ),
+        "images_tile_counts": _with(
+            img,
+            "SELECT tile, count(*) AS n_images FROM ("
+            + joins.tile_assignment_sql("SELECT * FROM img", _TILE_RES)
+            + ") GROUP BY tile",
+        ),
+        "images_knn": _with({**img, **pol}, knn_body),
+        "docs_dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "docs_token_stats": r"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_n,
+       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_n,
+       round(
+         least(1.0, len(toks) / 50.0)
+         * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1))
+         * (1.0 - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) / greatest(len(toks), 1)),
+         4) AS quality
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents
+)
+""",
+        "docs_lang_id": """
+SELECT doc_id, pred_lang, (pred_lang = lang) AS agree FROM (
+  SELECT doc_id, lang,
+    CASE
+      WHEN length(regexp_replace(text, '[^一-龥]', '', 'g')) > 0 THEN 'zh'
+      WHEN de_stop > en_stop AND de_stop > es_stop THEN 'de'
+      WHEN es_stop > en_stop AND es_stop >= de_stop THEN 'es'
+      WHEN en_stop > 0 THEN 'en'
+      ELSE 'other'
+    END AS pred_lang
+  FROM (
+    SELECT doc_id, lang, text,
+      len(list_filter(toks, x -> x IN ('the','a','and','of','to','is'))) AS en_stop,
+      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de_stop,
+      len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS es_stop
+    FROM (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS toks
+      FROM documents
+    )
+  )
+)
+""",
+        "docs_fingerprint": (
+            "SELECT doc_id, CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS fp "
+            "FROM documents"
+        ),
+        "embed_topk": """
+SELECT probe_id, neighbor_id, cos_sim FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM (
+    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+           round(
+             list_aggregate(list_transform(list_zip(p.v, e.v), t -> t[1] * t[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(p.v, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))),
+             5) AS cos_sim
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 = 0) p,
+         (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+    WHERE p.vec_id <> e.vec_id
+  )
+) WHERE rk <= 5
+""",
+    }
