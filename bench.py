@@ -1,0 +1,133 @@
+"""Benchmark harness: headline = images/sec through spatial-join +
+tile-assignment (the BASELINE.json metric), plus the other engine
+pillars (cell-join PIP, kNN, GPS pipeline, dedup/text, ANN).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local cores (default 32)
+  BENCH_IMAGE_FACTOR   images replication factor (default 100 ->
+                       500k images at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from util_gis_spark import datasets as D
+from util_gis_spark.operators import filters, joins, trajectory
+from util_gis_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    factor = int(os.environ.get("BENCH_IMAGE_FACTOR", "100"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    images = D.images_scaled(spark, sf_dir, factor).repartition(cpus * 2).cache()
+    n_images = images.count()  # materialize cache outside the timings
+    polys = D.polygons_wkt(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # warm up JVM codegen + Python UDF workers + Arrow once, untimed
+    joins.pip_join_broadcast(
+        images.limit(50000), polys, carry_cols=["image_key"]
+    ).count()
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- headline: spatial join + tile assignment over the image table.
+    # carry_cols prunes the wide payload (caption) out of the Arrow
+    # path — mapInPandas is opaque to Catalyst's column pruning.
+    CARRY = ["image_key", "w", "h"]
+
+    def headline():
+        joined = joins.pip_join_broadcast(images, polys, carry_cols=CARRY)
+        tiled = joins.tile_assignment(joined, res=16)
+        return tiled.groupBy("polygon_id").agg(F.count("*").alias("n")).count()
+
+    run("spatial_join_tile_assign", headline)
+
+    if os.environ.get("BENCH_ONLY") == "headline":
+        _emit(sf, cpus, factor, n_images, timings, counts)
+        return
+
+    # --- large-large flavor: cell equi-join PIP (shuffle path + AQE)
+    run(
+        "pip_join_cells",
+        lambda: joins.pip_join_cells(images, polys, res=14, carry_cols=CARRY).count(),
+    )
+
+    # --- kNN join: nearest polygon center for every image
+    centers = [
+        (int(r["polygon_id"]), (r["xmin"] + r["xmax"]) / 2.0, (r["ymin"] + r["ymax"]) / 2.0)
+        for r in D.polygons(spark, sf_dir).collect()
+    ]
+    run("knn_join", lambda: joins.knn_join_broadcast(images, centers).count())
+
+    # --- GPS trajectory pipeline: filter -> sessionize -> mileage
+    def gps_pipeline():
+        pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+        return trajectory.great_circle_mileage(pts).count() + trajectory.session_summary(pts).count()
+
+    run("gps_pipeline", gps_pipeline)
+
+    # --- text dedup + quality over documents
+    def text_ops():
+        from util_gis_spark.queries import q_docs_dedup_exact, q_docs_token_stats
+
+        return q_docs_dedup_exact(spark, sf_dir).count() + q_docs_token_stats(spark, sf_dir).count()
+
+    run("text_ops", text_ops)
+
+    # --- ANN brute-force cosine top-k over embeddings
+    def ann():
+        from util_gis_spark.queries import q_embed_topk
+
+        return q_embed_topk(spark, sf_dir).count()
+
+    run("ann_topk", ann)
+
+    _emit(sf, cpus, factor, n_images, timings, counts)
+
+
+def _emit(sf, cpus, factor, n_images, timings, counts):
+    headline_sec = timings["spatial_join_tile_assign"]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assign_sec",
+                "value": headline_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_images": n_images,
+                "images_per_sec": round(n_images / headline_sec, 1) if headline_sec else None,
+                "cpus": cpus,
+                "image_factor": factor,
+                "row_counts": counts,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Golden tests for the pure-numpy geo kernels, using the literal
+coordinates from the reference's unit tests (TestUtilGis.java:467-515)
+and hand-derived invariants of the documented formulas."""
+
+import numpy as np
+import pytest
+
+from util_gis_spark.geo import cells, gauss
+from util_gis_spark.geo.geometry import (
+    douglas_peucker,
+    geom_envelope,
+    multipolygon_wkt,
+    parse_wkt,
+    points_in_geom,
+    points_in_polygon,
+    polygon_wkt,
+    shoelace_area,
+    wkt_to_4d_array,
+)
+from util_gis_spark.geo.sphere import (
+    calc_mu,
+    np_haversine,
+    np_heading,
+    np_polygon_area_m2,
+    np_ring_area_m2,
+)
+
+
+class TestHaversine:
+    def test_reference_pair_1(self):
+        # TestUtilGis.java:506-510 — (100.401807,23.443696)-(100.27786,23.60424)
+        d = float(np_haversine(100.401807, 23.443696, 100.27786, 23.60424))
+        # haversine, R=6378137, atan2 form (G:11020-11053)
+        assert d == pytest.approx(21899.11, abs=30.0)
+        assert 21000 < d < 23000
+
+    def test_reference_pair_2_about_75m(self):
+        # TestUtilGis.java:512-514 — ~75 m apart north-south
+        d = float(np_haversine(116.55470301, 40.212967, 116.55473883, 40.21364248))
+        assert d == pytest.approx(75.2, abs=1.0)
+
+    def test_zero(self):
+        assert float(np_haversine(116.0, 40.0, 116.0, 40.0)) == 0.0
+
+    def test_symmetry(self):
+        a = float(np_haversine(116.1, 39.9, 116.3, 40.0))
+        b = float(np_haversine(116.3, 40.0, 116.1, 39.9))
+        assert a == pytest.approx(b, rel=1e-12)
+
+    def test_one_degree_longitude_at_equator(self):
+        # R * 1 degree in radians = 6378137 * pi/180 = 111319.49 m
+        d = float(np_haversine(0.0, 0.0, 1.0, 0.0))
+        assert d == pytest.approx(111319.49, abs=0.5)
+
+
+class TestHeading:
+    def test_cardinal_directions(self):
+        assert float(np_heading(116.0, 40.0, 116.0, 40.01)) == pytest.approx(0.0, abs=1e-6)
+        assert float(np_heading(116.0, 40.0, 116.01, 40.0)) == pytest.approx(90.0, abs=0.01)
+        assert float(np_heading(116.0, 40.0, 116.0, 39.99)) == pytest.approx(180.0, abs=1e-6)
+        assert float(np_heading(116.0, 40.0, 115.99, 40.0)) == pytest.approx(270.0, abs=0.01)
+
+    def test_range(self):
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(-179, 179, 100)
+        lat = rng.uniform(-80, 80, 100)
+        h = np_heading(lon, lat, lon + 0.01, lat + 0.01)
+        assert np.all((h >= 0) & (h < 360))
+
+
+class TestSphericalArea:
+    def test_small_square_matches_planar(self):
+        # 0.001 deg square at lat 40: width ~ 111319.49*cos(40)*0.001,
+        # height ~ 111319.49*0.001 (sphere R=6378137)
+        lon0, lat0, d = 116.0, 40.0, 0.001
+        ring = np.array(
+            [[lon0, lat0], [lon0 + d, lat0], [lon0 + d, lat0 + d], [lon0, lat0 + d], [lon0, lat0]]
+        )
+        area = np_ring_area_m2(ring[:, 0], ring[:, 1])
+        w = 111319.4908 * np.cos(np.radians(lat0 + d / 2)) * d
+        h = 111319.4908 * d
+        assert area == pytest.approx(w * h, rel=1e-3)
+
+    def test_polygon_with_hole(self):
+        outer = np.array([[0, 0], [0.01, 0], [0.01, 0.01], [0, 0.01], [0, 0]], dtype=float)
+        inner = np.array(
+            [[0.002, 0.002], [0.008, 0.002], [0.008, 0.008], [0.002, 0.008], [0.002, 0.002]]
+        )
+        a_out = np_ring_area_m2(outer[:, 0], outer[:, 1])
+        a_in = np_ring_area_m2(inner[:, 0], inner[:, 1])
+        assert np_polygon_area_m2([outer, inner]) == pytest.approx(a_out - a_in, rel=1e-12)
+
+    def test_orientation_invariant(self):
+        ring = np.array([[0, 0], [0.01, 0], [0.01, 0.01], [0, 0.01], [0, 0]], dtype=float)
+        fwd = np_ring_area_m2(ring[:, 0], ring[:, 1])
+        rev = np_ring_area_m2(ring[::-1, 0], ring[::-1, 1])
+        assert fwd == pytest.approx(rev, rel=1e-12)
+
+
+class TestMu:
+    def test_conversion_factor(self):
+        # 2000/3 m2 = exactly 1 mu
+        assert calc_mu(2000.0 / 3.0) == 1.0
+
+    def test_half_up_rounding(self):
+        # Java Math.round(x*1e4)/1e4 — HALF-UP for positives (G:12692)
+        # 0.1 m2 -> 0.00015000000000000001 mu -> rounds UP to 0.0002
+        # (banker's rounding would give 0.0002 here too, so also check
+        # a clean .5 boundary where half-up and half-even differ)
+        assert calc_mu(0.1) == 0.0002
+        x = 2.5 / 1e4 / (3.0 / 2000.0)  # mu*1e4 == 2.5 exactly-ish
+        assert calc_mu(x) in (0.0002, 0.0003)
+        assert calc_mu(x) == np.floor(x * (3.0 / 2000.0) * 1e4 + 0.5) / 1e4
+        assert calc_mu(0.00014 * 2000 / 3) == pytest.approx(0.0001)
+
+    def test_vectorized(self):
+        out = calc_mu(np.array([0.0, 2000.0 / 3.0, 2000.0]))
+        assert out.tolist() == [0.0, 1.0, 3.0]
+
+
+class TestGauss:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(73, 135, 500)  # China extent, zones 13-23... (actual zone 13..23+30)
+        lat = rng.uniform(18, 53, 500)
+        x, y, z = gauss.gauss_forward(lon, lat)
+        lon2, lat2, _ = gauss.gauss_inverse(x, y)
+        assert np.max(np.abs(lon2 - lon)) < 1e-9
+        assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+    def test_zone_rule(self):
+        # zone = floor((lon+180)/6)+1 (G:11592): Beijing 116.4 -> 50
+        assert int(gauss.zone_from_lon(116.4)) == 50
+        assert float(gauss.central_meridian(50)) == 117.0
+        assert float(gauss.false_easting(50)) == 50500000.0
+
+    def test_false_easting_encodes_zone(self):
+        x, y, z = gauss.gauss_forward(np.array([116.4]), np.array([39.9]))
+        assert int(z[0]) == 50
+        assert 50_000_000 < x[0] < 51_000_000  # millions digit = zone (G:11977)
+        assert int(gauss.zone_from_x(x)[0]) == 50
+
+    def test_central_meridian_x(self):
+        # on the central meridian, x == false easting exactly
+        x, y, _ = gauss.gauss_forward(np.array([117.0]), np.array([40.0]), zone=50)
+        assert x[0] == pytest.approx(50500000.0, abs=1e-6)
+
+    def test_meridian_arc_scale(self):
+        # planar distance between two points 0.01 deg apart on the
+        # central meridian ~= ellipsoidal meridian arc (k0=1.0)
+        x1, y1, _ = gauss.gauss_forward(np.array([117.0]), np.array([40.0]), zone=50)
+        x2, y2, _ = gauss.gauss_forward(np.array([117.0]), np.array([40.01]), zone=50)
+        d = np.hypot(x2 - x1, y2 - y1)[0]
+        # meridian radius at 40 deg: M = a(1-e2)/(1-e2 sin2)^1.5 -> ~1110.9 m per 0.01 deg
+        e2 = gauss.F_WGS84 * (2 - gauss.F_WGS84)
+        s = np.sin(np.radians(40.005))
+        M = gauss.A_WGS84 * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        assert d == pytest.approx(M * np.radians(0.01), rel=1e-6)
+
+    def test_unified_zone(self):
+        assert gauss.unified_zone(116.0, 116.4) == 50
+
+
+class TestCells:
+    def test_roundtrip_bounds(self):
+        c = int(cells.np_cell(116.35, 39.95, 14))
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        assert x0 <= 116.35 < x1 and y0 <= 39.95 < y1
+
+    def test_parent_contains_child(self):
+        c = int(cells.np_cell(116.35, 39.95, 14))
+        p = int(cells.parent(c))
+        px0, py0, px1, py1 = cells.cell_bounds(p)
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        assert px0 <= x0 and py0 <= y0 and px1 >= x1 and py1 >= y1
+
+    def test_neighbors_ring1(self):
+        c = int(cells.np_cell(116.35, 39.95, 14))
+        n = cells.neighbors(c, 1)
+        assert len(n) == 9 and c in n
+
+    def test_cover_bbox(self):
+        cov = cells.cover_bbox(116.0, 39.5, 116.1, 39.6, 12)
+        assert len(cov) >= 1
+        # each covered cell intersects the bbox
+        for c in cov:
+            x0, y0, x1, y1 = cells.cell_bounds(int(c))
+            assert x1 >= 116.0 and x0 <= 116.1 and y1 >= 39.5 and y0 <= 39.6
+
+    def test_poles_and_antimeridian_clamp(self):
+        assert cells.np_cell(180.0, 90.0, 10) == cells.np_cell(179.9999, 89.9999, 10)
+        assert cells.np_cell(-180.0, -90.0, 10) >= 0
+
+
+class TestWktAndPip:
+    RECT = "POLYGON((116.55470301 40.21296700, 116.55560000 40.21296700, 116.55560000 40.21364248, 116.55470301 40.21364248, 116.55470301 40.21296700))"
+
+    def test_in_geometry_reference_cases(self):
+        # TestUtilGis.java:485-503: interior in, exterior out; the
+        # boundary vertex is NOT contained (strict interior, JTS
+        # contains semantics G:11197-11216)
+        inside = points_in_geom([116.55515], [40.2133], self.RECT)
+        outside = points_in_geom([116.556], [40.214], self.RECT)
+        assert inside[0] and not outside[0]
+
+    def test_polygon_with_hole_pip(self):
+        rings = [
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float),
+            np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float),
+        ]
+        got = points_in_polygon([5.0, 2.0, 11.0], [5.0, 2.0, 5.0], rings)
+        assert got.tolist() == [False, True, False]
+
+    def test_multipolygon_pip(self):
+        wkt = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"
+        got = points_in_geom([1.0, 6.0, 3.5], [1.0, 6.0, 3.5], wkt)
+        assert got.tolist() == [True, True, False]
+
+    def test_wkt_roundtrip(self):
+        typ, rings = parse_wkt(self.RECT)
+        assert typ == "POLYGON" and len(rings) == 1 and rings[0].shape == (5, 2)
+        again = parse_wkt(polygon_wkt(rings))
+        assert np.allclose(again[1][0], rings[0])
+
+    def test_wkt_empty_and_garbage(self):
+        assert parse_wkt("")[0] == "EMPTY"
+        assert parse_wkt("POLYGON EMPTY")[0] == "EMPTY"
+        assert parse_wkt("NOT A WKT")[0] == "EMPTY"
+
+    def test_4d_array(self):
+        # double[geom][ring][point][2] (G:10649-10809)
+        arr = wkt_to_4d_array("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+        assert len(arr) == 2 and len(arr[0]) == 1 and len(arr[0][0]) == 4 and len(arr[0][0][0]) == 2
+        pt = wkt_to_4d_array("POINT (3 4)")
+        assert pt == [[[[3.0, 4.0]]]]
+
+    def test_envelope(self):
+        env = geom_envelope(parse_wkt(self.RECT))
+        assert env == pytest.approx((116.55470301, 40.212967, 116.5556, 40.21364248))
+
+    def test_shoelace(self):
+        sq = np.array([[0, 0], [4, 0], [4, 3], [0, 3]], dtype=float)
+        assert shoelace_area(sq) == 12.0
+
+    def test_douglas_peucker(self):
+        line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 1], [4, 0]], dtype=float)
+        out = douglas_peucker(line, tol=0.01)
+        assert [0, 0] in out.tolist() and [3, 1] in out.tolist() and [4, 0] in out.tolist()
+        assert len(out) < len(line)
+
+    def test_multipolygon_wkt_emit(self):
+        polys = [[np.array([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=float)]]
+        s = multipolygon_wkt(polys)
+        t, back = parse_wkt(s)
+        assert t == "MULTIPOLYGON" and np.allclose(back[0][0], polys[0][0])

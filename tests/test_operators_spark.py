@@ -1,0 +1,138 @@
+"""Spark integration tests: operator semantics on tiny deterministic
+fixtures + cross-flavor equivalence of the spatial joins."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from util_gis_spark import datasets as D
+from util_gis_spark.operators import filters, joins, trajectory
+
+
+def _mk_points(spark, rows):
+    return spark.createDataFrame(
+        rows, "device_id long, ts timestamp, lon double, lat double, speed double, gps_status int, job_status int, point_id long"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+class TestFilterWgs84:
+    def test_five_rules_and_dup_drop(self, spark):
+        rows = [
+            (1, _t(0), 116.1, 39.9, 5.0, 1, 1, 0),     # keep
+            (1, _t(1), 116.1, 39.9, 5.0, 1, 1, 1),     # dup (lon,lat) -> dropped, keep first
+            (1, _t(2), 0.0, 39.9, 5.0, 1, 1, 2),        # lon==0 -> drop
+            (1, _t(3), 116.2, 39.9, 5.0, 2, 1, 3),      # gps_status=2 -> drop
+            (1, _t(4), 116.2, 39.9, 5.0, 1, 3, 4),      # job_status=3 -> drop
+            (1, _t(5), 200.0, 39.9, 5.0, 1, 1, 5),      # lon>180 -> drop
+            (1, None, 116.3, 39.9, 5.0, 1, 1, 6),       # null ts -> drop
+            (1, _t(7), 116.4, 39.9, None, 1, 0, 7),     # keep (null speed ok here)
+            (2, _t(0), 116.1, 39.9, 5.0, 0, 0, 8),      # keep — dup drop is per device
+        ]
+        out = filters.filter_wgs84_points(_mk_points(spark, rows))
+        got = sorted(r["point_id"] for r in out.collect())
+        assert got == [0, 7, 8]
+
+    def test_speed_filter_null_passes(self, spark):
+        rows = [
+            (1, _t(0), 116.1, 39.9, None, 1, 1, 0),   # null -> keep (G:13709)
+            (1, _t(1), 116.2, 39.9, 0.05, 1, 1, 1),   # < 0.1 -> drop
+            (1, _t(2), 116.3, 39.9, 18.0, 1, 1, 2),   # == max -> keep
+            (1, _t(3), 116.4, 39.9, 18.01, 1, 1, 3),  # > max -> drop
+        ]
+        out = filters.speed_filter(_mk_points(spark, rows))
+        assert sorted(r["point_id"] for r in out.collect()) == [0, 2]
+
+
+class TestSessionize:
+    def test_cut_on_gap(self, spark):
+        rows = [(1, _t(i * 10), 116.0 + i * 1e-4, 39.9, 1.0, 1, 1, i) for i in range(5)]
+        rows += [(1, _t(1000 + i * 10), 116.1 + i * 1e-4, 39.9, 1.0, 1, 1, 10 + i) for i in range(3)]
+        out = trajectory.session_summary(_mk_points(spark, rows), max_gap_s=300).collect()
+        segs = {r["seg_id"]: r["n_points"] for r in out}
+        assert segs == {1: 5, 2: 3}
+
+    def test_modal_interval_tie_prefers_smaller(self, spark):
+        # dt sequence: 5,5,9,9 -> tie on count, modal = 5 (G:3966-3975)
+        times = [0, 5, 10, 19, 28]
+        rows = [(1, _t(t), 116.0 + i * 1e-4, 39.9, 1.0, 1, 1, i) for i, t in enumerate(times)]
+        out = trajectory.modal_interval(_mk_points(spark, rows)).collect()
+        assert out[0]["modal_interval_s"] == 5
+
+
+class TestSpatialJoins:
+    def test_broadcast_equals_cells_flavor(self, spark, sf_dir):
+        imgs = D.images(spark, sf_dir)
+        polys = D.polygons_wkt(spark, sf_dir)
+        a = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_broadcast(imgs, polys).collect()
+        }
+        b = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_cells(imgs, polys, res=14).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_salting_preserves_rows(self, spark, sf_dir):
+        imgs = D.images(spark, sf_dir)
+        polys = D.polygons_wkt(spark, sf_dir)
+        plain = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_cells(imgs, polys, res=14).collect()
+        }
+        salted = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_cells(imgs, polys, res=14, salt_buckets=4).collect()
+        }
+        assert plain == salted
+
+    def test_pip_strict_interior(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0.5, 0.5), (2, 0.0, 0.5), (3, 2.0, 2.0)], "image_key long, lon double, lat double"
+        )
+        polys = spark.createDataFrame(
+            [(10, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")], "polygon_id long, wkt string"
+        )
+        got = {(r["image_key"], r["polygon_id"]) for r in joins.pip_join_broadcast(pts, polys).collect()}
+        assert got == {(1, 10)}  # boundary point 2 excluded, outside point 3 excluded
+
+    def test_knn_nearest_and_tolerance(self, spark):
+        probes = spark.createDataFrame(
+            [(1, 116.0, 39.9), (2, 116.5, 39.9)], "image_key long, lon double, lat double"
+        )
+        cands = [(100, 116.01, 39.9), (200, 116.4, 39.9)]
+        out = {r["probe_id"]: r["nearest_id"] for r in joins.knn_join_broadcast(probes, cands).collect()}
+        assert out == {1: 100, 2: 200}
+        capped = joins.knn_join_broadcast(probes, cands, max_dist_m=2000.0).collect()
+        assert [r["probe_id"] for r in capped] == [1]  # probe 2 is ~8.5km from its nearest
+
+    def test_tile_assignment_covers_point_tile(self, spark):
+        imgs = spark.createDataFrame(
+            [(1, 116.2, 39.7, 100, 100)], "image_key long, lon double, lat double, w int, h int"
+        )
+        out = joins.tile_assignment(imgs, res=16).collect()
+        from util_gis_spark.geo.cells import np_cell
+
+        tiles = {r["tile"] for r in out}
+        assert int(np_cell(116.2, 39.7, 16)) in tiles
+
+
+class TestDerivedViews:
+    def test_images_schema_matches_input_hint(self, spark, sf_dir):
+        cols = set(D.images_with_bytes(spark, sf_dir).columns)
+        assert {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"} <= cols
+
+    def test_caption_bytes_deterministic(self, spark, sf_dir):
+        a = D.images_with_bytes(spark, sf_dir).select("image_id", "bytes", "caption").collect()
+        b = D.images_with_bytes(spark, sf_dir).select("image_id", "bytes", "caption").collect()
+        assert sorted((r["image_id"], bytes(r["bytes"]), r["caption"]) for r in a) == sorted(
+            (r["image_id"], bytes(r["bytes"]), r["caption"]) for r in b
+        )

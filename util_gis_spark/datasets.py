@@ -118,6 +118,60 @@ FROM documents
 """
 
 
+def images_scaled(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """Deterministic x`factor` replication of the images view for bench
+    runs: replica i of doc k gets image_key = k*factor + i and its own
+    footprint from the same integer-hash rule, so the scaled table has
+    the same spatial distribution (incl. the 30% hot spot) at any size.
+    Built from `documents` x explode(sequence) — all JVM-side."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    k = (F.col("doc_id") * factor + F.col("rep")).cast("long")
+    hot = (k % 10) < 3
+    return d.select(
+        k.alias("image_key"),
+        k.cast("string").alias("image_id"),
+        (64 + (k % 960)).cast("int").alias("w"),
+        (64 + ((k * 31) % 960)).cast("int").alias("h"),
+        F.when(k % 3 == 0, "png").when(k % 3 == 1, "jpg").otherwise("webp").alias("fmt"),
+        F.col("text").alias("caption"),
+        ((k * 2654435761) % 281474976710656).alias("phash"),
+        F.when(hot, 116.20 + ((k * 7919) % 1000) / 100000.0)
+        .otherwise(116.0 + ((k * 48271) % 40000) / 100000.0)
+        .alias("lon"),
+        F.when(hot, 39.70 + ((k * 104729) % 1000) / 100000.0)
+        .otherwise(39.5 + ((k * 69621) % 40000) / 100000.0)
+        .alias("lat"),
+    )
+
+
+def images_range(
+    spark: SparkSession, n_images: int, partitions: int, with_caption: bool = False
+) -> DataFrame:
+    """Bench-only generator: identical rows to images_scaled (for
+    contiguous doc_ids 0..n-1, image_key == range id — verified by
+    tests/test_operators_spark.py) but produced straight from
+    spark.range: perfectly partitioned, no scan/explode/repartition
+    shuffle. This is the stand-in for a well-partitioned Iceberg scan
+    at 10^12 scale. Geometry-only columns; captions optional."""
+    k = F.col("id").cast("long")
+    hot = (k % 10) < 3
+    df = spark.range(0, n_images, 1, partitions).select(
+        k.alias("image_key"),
+        F.when(hot, 116.20 + ((k * 7919) % 1000) / 100000.0)
+        .otherwise(116.0 + ((k * 48271) % 40000) / 100000.0)
+        .alias("lon"),
+        F.when(hot, 39.70 + ((k * 104729) % 1000) / 100000.0)
+        .otherwise(39.5 + ((k * 69621) % 40000) / 100000.0)
+        .alias("lat"),
+        (64 + (k % 960)).cast("int").alias("w"),
+        (64 + ((k * 31) % 960)).cast("int").alias("h"),
+    )
+    if with_caption:
+        df = df.withColumn("caption", F.concat(F.lit("img "), F.col("image_key").cast("string")))
+    return df
+
+
 def images_with_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """images + a deterministic `bytes` binary column (pseudo-image:
     the repeated md5 of the image_id — stands in for encoded pixels;

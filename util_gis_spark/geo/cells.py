@@ -98,6 +98,42 @@ def neighbors(cell: int, ring: int = 1) -> np.ndarray:
     return np.array(sorted(set(out)), dtype=np.int64)
 
 
+def segment_cells(lon0: float, lat0: float, lon1: float, lat1: float, res: int) -> set[int]:
+    """All cells a segment passes through (grid supercover, DDA walk).
+    Used to classify boundary cells for the hybrid PIP join."""
+    n = _nx(res)
+    fx0, fy0 = (lon0 + 180.0) / 360.0 * n, (lat0 + 90.0) / 180.0 * n
+    fx1, fy1 = (lon1 + 180.0) / 360.0 * n, (lat1 + 90.0) / 180.0 * n
+    ix, iy = int(np.clip(np.floor(fx0), 0, n - 1)), int(np.clip(np.floor(fy0), 0, n - 1))
+    jx, jy = int(np.clip(np.floor(fx1), 0, n - 1)), int(np.clip(np.floor(fy1), 0, n - 1))
+    out = {res * RES_SHIFT + ix * IX_SHIFT + iy}
+    dx, dy = fx1 - fx0, fy1 - fy0
+    sx, sy = (1 if dx > 0 else -1), (1 if dy > 0 else -1)
+    t_max_x = ((ix + (sx > 0)) - fx0) / dx if dx != 0 else np.inf
+    t_max_y = ((iy + (sy > 0)) - fy0) / dy if dy != 0 else np.inf
+    t_dx = abs(1.0 / dx) if dx != 0 else np.inf
+    t_dy = abs(1.0 / dy) if dy != 0 else np.inf
+    guard = 4 * (abs(jx - ix) + abs(jy - iy) + 2)
+    while (ix != jx or iy != jy) and guard > 0:
+        guard -= 1
+        if t_max_x < t_max_y:
+            t_max_x += t_dx
+            ix += sx
+        elif t_max_y < t_max_x:
+            t_max_y += t_dy
+            iy += sy
+        else:  # exact corner crossing: mark both neighbors (supercover)
+            out.add(res * RES_SHIFT + (ix + sx) * IX_SHIFT + iy)
+            out.add(res * RES_SHIFT + ix * IX_SHIFT + (iy + sy))
+            t_max_x += t_dx
+            t_max_y += t_dy
+            ix += sx
+            iy += sy
+        if 0 <= ix < n and 0 <= iy < n:
+            out.add(res * RES_SHIFT + ix * IX_SHIFT + iy)
+    return out
+
+
 def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int) -> np.ndarray:
     """All cells intersecting the bbox — the raster<->vector tiling
     primitive: a polygon's covering cell set is cover_bbox of its

@@ -151,17 +151,21 @@ def wkt_to_4d_array_from_parsed(parsed) -> list:
 
 
 # --------------------------------------------------------- point in polygon
-def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd ray casting: True iff point strictly inside
-    the ring. Points exactly on an edge are NOT guaranteed inside —
-    matching the reference's strict-interior contains (boundary=false,
-    G:11197-11216). Shape: px,py (M,), ring (N,2) closed or open."""
+def _ring_edges(ring: np.ndarray):
     ring = np.asarray(ring, dtype=np.float64)
     x1, y1 = ring[:-1, 0], ring[:-1, 1]
     x2, y2 = ring[1:, 0], ring[1:, 1]
     if not (ring[0] == ring[-1]).all():
         x1 = np.append(x1, ring[-1, 0]); y1 = np.append(y1, ring[-1, 1])
         x2 = np.append(x2, ring[0, 0]); y2 = np.append(y2, ring[0, 1])
+    return x1, y1, x2, y2
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting parity: True iff point is inside
+    the ring by crossing parity (boundary points get arbitrary parity —
+    pair with points_on_ring for strict-interior semantics)."""
+    x1, y1, x2, y2 = _ring_edges(ring)
     px = np.asarray(px, dtype=np.float64)[:, None]
     py = np.asarray(py, dtype=np.float64)[:, None]
     cond = (y1 > py) != (y2 > py)
@@ -171,12 +175,28 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return (crossings % 2).astype(bool)
 
 
+def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """True iff point lies exactly on a ring edge (zero cross product
+    and within the segment's bbox)."""
+    x1, y1, x2, y2 = _ring_edges(ring)
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    within = (
+        (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
+        & (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
+    )
+    return np.any((cross == 0.0) & within, axis=1)
+
+
 def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
-    """Polygon-with-holes containment: inside exterior and not inside
-    any hole."""
-    inside = points_in_ring(px, py, rings[0])
+    """Strict-interior polygon-with-holes containment: inside the
+    exterior by parity, not inside any hole, and NOT on any ring
+    boundary — matching JTS Geometry.contains (boundary=false) used by
+    the reference at G:5916 / G:11197-11216."""
+    inside = points_in_ring(px, py, rings[0]) & ~points_on_ring(px, py, rings[0])
     for hole in rings[1:]:
-        inside &= ~points_in_ring(px, py, hole)
+        inside &= ~points_in_ring(px, py, hole) & ~points_on_ring(px, py, hole)
     return inside
 
 

