@@ -81,6 +81,45 @@ class TestSpatialJoins:
         }
         assert a == b and len(a) > 0
 
+    def test_hybrid_equals_broadcast_flavor(self, spark, sf_dir):
+        imgs = D.images(spark, sf_dir)
+        polys = D.polygons_wkt(spark, sf_dir)
+        a = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_broadcast(imgs, polys, carry_cols=["image_key"]).collect()
+        }
+        b = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_hybrid(imgs, polys, res=16, carry_cols=["image_key"]).collect()
+        }
+        c = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_hybrid(
+                imgs, polys, res=16, carry_cols=["image_key"], broadcast_cellmap=False
+            ).collect()
+        }
+        assert a == b == c and len(a) > 0
+
+    def test_classify_cells_conservative(self, spark):
+        from util_gis_spark.geo.cells import cell_bounds
+        from util_gis_spark.geo.geometry import parse_wkt, points_in_geom
+
+        # non-convex polygon: L-shape
+        parsed = parse_wkt("POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))")
+        inside, boundary = joins.classify_polygon_cells(parsed, 8)
+        # every cell classified inside must have its center truly inside
+        for c in inside:
+            x0, y0, x1, y1 = cell_bounds(int(c))
+            assert points_in_geom([(x0 + x1) / 2], [(y0 + y1) / 2], parsed)[0]
+        assert len(boundary) > 0
+
+    def test_images_range_equals_images_scaled(self, spark, sf_dir):
+        a = D.images_scaled(spark, sf_dir, 3).select("image_key", "lon", "lat", "w", "h")
+        n = a.count()
+        b = D.images_range(spark, n, 4)
+        sym = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert sym == 0
+
     def test_salting_preserves_rows(self, spark, sf_dir):
         imgs = D.images(spark, sf_dir)
         polys = D.polygons_wkt(spark, sf_dir)

@@ -1,0 +1,195 @@
+"""Fixture tests for the plot-construction pipeline and the sequential
+window/sampling/clustering kernels — synthetic trajectories shaped
+like the reference's regression corpus (field serpentine + connecting
+road, parking cloud, cadence switches)."""
+
+import numpy as np
+import pytest
+
+from util_gis_spark.geo import gauss
+from util_gis_spark.operators.clustering import dynamic_eps, eps_minpts_preset, np_dbscan
+from util_gis_spark.operators.plots import (
+    build_farm_plot,
+    build_split_road_plots,
+)
+from util_gis_spark.operators.sampling import (
+    np_fast_distance_sampling,
+    np_simplify_by_angle,
+)
+from util_gis_spark.operators.windows import np_median_smooth, np_split_time_windows
+
+
+def serpentine(x0=0.0, y0=0.0, n_rows=21, row_len=100.0, row_gap=3.0, step=3.0):
+    """Lawnmower field pattern: n_rows passes of row_len, 3 m apart."""
+    pts = []
+    for r in range(n_rows):
+        xs = np.arange(0.0, row_len + 1e-9, step)
+        if r % 2:
+            xs = xs[::-1]
+        for x in xs:
+            pts.append((x0 + x, y0 + r * row_gap))
+    return np.array(pts)
+
+
+class TestSplitTimeWindows:
+    def test_force_split_then_same_label_remerge(self):
+        # the reference force-splits at dt>300 but mergeAdjacentWindows
+        # (G:6603-6647) re-merges adjacent windows with EQUAL labels, so
+        # two 1s-cadence runs around a gap end up as one window
+        ts = np.concatenate([np.arange(100), 1000 + np.arange(50)])
+        wid, lab = np_split_time_windows(ts)
+        assert len(np.unique(wid)) == 1 and lab[0] == 1
+
+    def test_force_split_different_labels_stay_separate(self):
+        ts = np.concatenate([np.arange(100), 1000 + 10 * np.arange(50)])
+        wid, lab = np_split_time_windows(ts)
+        assert len(np.unique(wid)) == 2
+        assert lab[0] == 1 and lab[-1] == 10
+
+    def test_cadence_switch_after_59(self):
+        # 100 pts at 1 s then 70 at 10 s: switch after 59 consecutive 10s
+        ts = np.concatenate([np.arange(100), 99 + 10 * np.arange(1, 71)])
+        wid, lab = np_split_time_windows(ts)
+        assert len(np.unique(wid)) == 2
+        assert lab[0] == 1 and lab[-1] == 10
+
+    def test_no_switch_below_59(self):
+        ts = np.concatenate([np.arange(100), 99 + 10 * np.arange(1, 41)])
+        wid, lab = np_split_time_windows(ts)
+        assert len(np.unique(wid)) == 1
+        assert lab[0] == 1  # majority vote: 99 ones vs 40 tens
+
+    def test_vote_tie_prefers_smaller(self):
+        ts = np.array([0, 2, 4, 9, 14])  # dt: 2,2,5,5
+        _, lab = np_split_time_windows(ts)
+        assert lab[0] == 2
+
+
+class TestDbscan:
+    def test_two_blobs_and_noise(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 1.0, (100, 2))
+        b = rng.normal(50, 1.0, (100, 2))
+        noise = np.array([[25.0, 25.0], [100.0, 100.0]])
+        xy = np.vstack([a, b, noise])
+        labels = np_dbscan(xy, eps=3.0, min_pts=5)
+        assert set(labels[:100]) == {0}
+        assert set(labels[100:200]) == {1}
+        assert (labels[200:] == -1).all()
+
+    def test_min_pts_boundary(self):
+        xy = np.array([[0, 0], [1, 0], [0, 1]], dtype=float)
+        assert (np_dbscan(xy, eps=2.0, min_pts=4) == -1).all()
+        assert (np_dbscan(xy, eps=2.0, min_pts=3) == 0).all()
+
+    def test_presets(self):
+        assert eps_minpts_preset(1) == (11.0, 30)
+        assert eps_minpts_preset(5) == (20.0, 15)
+        assert eps_minpts_preset(10) == (20.0, 10)
+        assert dynamic_eps(3.0, 1.0) == pytest.approx(6.0)  # max(3.6, 6.0) vs 12
+
+
+class TestSampling:
+    def test_simplify_straight_line_keeps_sparse(self):
+        # straight line: only accumulated-length keeps fire
+        xy = np.column_stack([np.arange(0, 100, 0.6), np.zeros(167)])
+        keep = np_simplify_by_angle(xy)
+        assert keep[0] and keep[-1]
+        assert keep.sum() < len(xy)  # thinned
+
+    def test_simplify_keeps_corner(self):
+        xy = np.array([[0, 0], [5, 0], [5, 5], [10, 5]], dtype=float)
+        keep = np_simplify_by_angle(xy)
+        assert keep.all()  # 90-degree corners all kept
+
+    def test_fds_dense_run_keeps_1_in_10(self):
+        xy = np.zeros((101, 2))  # all identical -> dense run
+        keep = np_fast_distance_sampling(xy)
+        assert keep[0]
+        assert keep.sum() == 1 + 10  # first + every 10th
+
+    def test_fds_spread_keeps_all(self):
+        xy = np.column_stack([np.arange(50) * 2.0, np.zeros(50)])
+        assert np_fast_distance_sampling(xy).all()
+
+
+class TestMedianSmooth:
+    def test_parking_run_removed(self):
+        # drive 100 m, park 300 s, drive on
+        drive1 = np.column_stack([np.arange(0, 100, 3.0), np.zeros(34)])
+        park = np.tile([[100.0, 0.0]], (300, 1)) + np.random.default_rng(2).normal(0, 0.01, (300, 2))
+        drive2 = np.column_stack([100 + np.arange(3, 100, 3.0), np.zeros(33)])
+        xy = np.vstack([drive1, park, drive2])
+        ts = np.arange(len(xy), dtype=float)
+        keep = np_median_smooth(xy[:, 0], xy[:, 1], ts, k=5, speed_threshold_ms=0.05, min_parking_s=120)
+        assert keep[:30].all()
+        assert not keep[40:300].all()  # parking cloud dropped
+        assert keep[-20:].all()
+
+
+class TestFarmPlot:
+    ZONE = 50
+
+    def _project(self, xy_m):
+        """Place a local metric pattern near (116.2, 39.7) and return
+        plane coords (identity: pattern already in meters, offset into
+        the zone-50 plane at that location)."""
+        x0, y0, _ = gauss.gauss_forward(np.array([116.2]), np.array([39.7]), zone=self.ZONE)
+        return xy_m + np.array([x0[0], y0[0]])
+
+    def test_single_field(self):
+        field = self._project(serpentine())
+        ts = np.arange(len(field), dtype=float)
+        plots = build_farm_plot(field, ts, self.ZONE, working_width=3.0)
+        assert len(plots) == 1
+        # 100x60 m footprint + width/2 margin: ~103x63 m = 6489 m2 = 9.73 mu
+        assert plots[0]["mu"] == pytest.approx(9.73, rel=0.1)
+        assert plots[0]["n_points"] == len(field)
+        assert plots[0]["wkt"].startswith("POLYGON")
+        # mileage ~ 21 rows * 100 m + 20 turns * 3 m = 2160 m
+        assert plots[0]["mileage_m"] == pytest.approx(2160, rel=0.05)
+
+    def test_split_road_two_fields(self):
+        a = serpentine(x0=0.0)
+        road = np.column_stack([np.arange(103, 400, 3.0), np.full(99, 30.0)])
+        b = serpentine(x0=400.0)
+        xy = self._project(np.vstack([a, road, b]))
+        ts = np.arange(len(xy), dtype=float)  # 1 s cadence
+        plots = build_split_road_plots(xy, ts, self.ZONE, working_width=3.0)
+        assert len(plots) == 2  # road clipped away, fields separate
+        for p in plots:
+            assert p["mu"] == pytest.approx(9.7, rel=0.15)
+            assert p["n_points"] > 60
+        assert plots[0]["start_ts"] < plots[1]["start_ts"]
+
+    def test_all_road_returns_nothing(self):
+        road = self._project(np.column_stack([np.arange(0, 3000, 3.0), np.zeros(1000)]))
+        ts = np.arange(len(road), dtype=float)
+        plots = build_split_road_plots(road, ts, self.ZONE, working_width=3.0)
+        assert plots == []  # "all road" regression shape: DBSCAN noise
+
+
+class TestSparkPlots:
+    def test_get_farm_plot_dataframe(self, spark):
+        import pandas as pd
+
+        z = 50
+        x0, y0, _ = gauss.gauss_forward(np.array([116.2]), np.array([39.7]), zone=z)
+        field = serpentine() + np.array([x0[0], y0[0]])
+        lon, lat, _ = gauss.gauss_inverse(field[:, 0], field[:, 1], zone=z)
+        pdf = pd.DataFrame(
+            {
+                "device_id": np.int64(7),
+                "ts": pd.to_datetime(np.arange(len(lon)), unit="s"),
+                "lon": lon,
+                "lat": lat,
+                "point_id": np.arange(len(lon), dtype=np.int64),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = __import__(
+            "util_gis_spark.operators.plots", fromlist=["plots"]
+        ).get_farm_plot(df, working_width=3.0).collect()
+        assert len(out) == 1
+        assert out[0]["mu"] == pytest.approx(9.73, rel=0.1)
+        assert out[0]["device_id"] == 7

@@ -145,6 +145,33 @@ def images_scaled(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     )
 
 
+def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense agricultural-style trajectories (the reference's native
+    input shape): per device a serpentine 'lawnmower' field pattern at
+    1 Hz / 3 m steps, rows 3 m apart — deterministic from `events`.
+    Feeds the plot-construction composites (getFarmPlot/splitRoad),
+    which need coherent machinery tracks, not scattered points."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    dev = (F.col("user_id") % 10).alias("device_id")
+    w = W.partitionBy(dev).orderBy("ts", "event_id")
+    seq = (F.row_number().over(w) - 1).alias("seq")
+    base = e.select(dev, F.col("event_id").alias("point_id"), seq)
+    row = F.floor(F.col("seq") / 34)
+    col = F.col("seq") % 34
+    col_serp = F.when(row % 2 == 1, 33 - col).otherwise(col)
+    x_m = col_serp * 3.0 + (F.col("device_id") % 5) * 600.0
+    y_m = row * 3.0 + F.floor(F.col("device_id") / 5) * 600.0
+    return base.select(
+        "device_id",
+        "point_id",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,seq)").alias("ts"),
+        (116.0 + x_m / 85690.0).alias("lon"),
+        (39.5 + y_m / 111195.0).alias("lat"),
+    )
+
+
 def images_range(
     spark: SparkSession, n_images: int, partitions: int, with_caption: bool = False
 ) -> DataFrame:

@@ -1,0 +1,268 @@
+"""Raster morphology engine: buffer / closing / opening / boolean ops
+on a metric grid, pure numpy (this environment has no GEOS).
+
+The reference builds plot polygons with JTS buffers: line->corridor
+buffer(width/2) (G:9024-9028), closing = +p then -p buffers
+(G:9035-9039, p = clamp(width, 2, 8) G:13686-13690), opening = -n then
++n (G:9046-9051). Morphologically these ARE dilation/erosion with a
+disk structuring element — we compute them exactly that way on a
+binary grid in Gauss-plane meters:
+
+    dilate(mask, r)  = mask (+) disk(r)   via FFT convolution
+    erode(mask, r)   = ~dilate(~mask, r)
+    closing(mask, p) = erode(dilate(mask, p), p)
+    opening(mask, n) = dilate(erode(mask, n), n)
+
+then trace the mask boundary into polygon rings (pixel-edge loops,
+optionally Douglas-Peucker smoothed). Accuracy is grid-bounded
+(default 0.5 m — farm-plot tolerances are meters); determinism is
+exact. Each trajectory's grid is a few-thousand-cells square, so one
+plot = one numpy problem inside an applyInPandas task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import douglas_peucker, points_in_ring
+
+DEFAULT_GRID_M = 0.5
+
+
+class Raster:
+    """A binary mask over a metric grid: mask[iy, ix] covers
+    [x0+ix*g, x0+(ix+1)*g) x [y0+iy*g, ...)."""
+
+    __slots__ = ("mask", "x0", "y0", "g")
+
+    def __init__(self, mask: np.ndarray, x0: float, y0: float, g: float):
+        self.mask = mask
+        self.x0 = x0
+        self.y0 = y0
+        self.g = g
+
+    def area_m2(self) -> float:
+        return float(self.mask.sum()) * self.g * self.g
+
+
+def _grid_for(xy: np.ndarray, pad_m: float, g: float) -> tuple[float, float, int, int]:
+    x0 = float(xy[:, 0].min()) - pad_m
+    y0 = float(xy[:, 1].min()) - pad_m
+    x1 = float(xy[:, 0].max()) + pad_m
+    y1 = float(xy[:, 1].max()) + pad_m
+    nx = max(int(np.ceil((x1 - x0) / g)) + 1, 4)
+    ny = max(int(np.ceil((y1 - y0) / g)) + 1, 4)
+    return x0, y0, nx, ny
+
+
+def rasterize_polyline(xy: np.ndarray, pad_m: float, g: float = DEFAULT_GRID_M) -> Raster:
+    """Mark every cell the polyline passes through (dense sampling at
+    g/2 steps along each segment)."""
+    xy = np.asarray(xy, dtype=np.float64)
+    x0, y0, nx, ny = _grid_for(xy, pad_m, g)
+    mask = np.zeros((ny, nx), dtype=bool)
+    if len(xy) == 1:
+        ix = int((xy[0, 0] - x0) / g)
+        iy = int((xy[0, 1] - y0) / g)
+        mask[iy, ix] = True
+        return Raster(mask, x0, y0, g)
+    seg = np.diff(xy, axis=0)
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    n_samp = np.maximum((seg_len / (g * 0.5)).astype(np.int64), 1)
+    pts = [xy[:1]]
+    for i, k in enumerate(n_samp):
+        t = np.linspace(0.0, 1.0, k + 1)[1:, None]
+        pts.append(xy[i] + t * seg[i])
+    allp = np.vstack(pts)
+    ix = np.clip(((allp[:, 0] - x0) / g).astype(np.int64), 0, nx - 1)
+    iy = np.clip(((allp[:, 1] - y0) / g).astype(np.int64), 0, ny - 1)
+    mask[iy, ix] = True
+    return Raster(mask, x0, y0, g)
+
+
+def _disk(r_px: float) -> np.ndarray:
+    r = max(int(np.ceil(r_px)), 0)
+    if r == 0:
+        return np.ones((1, 1), dtype=bool)
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    return (xx * xx + yy * yy) <= r_px * r_px + 1e-9
+
+
+def _convolve_bool(mask: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """FFT binary convolution -> hit-count grid thresholded at >=1."""
+    my, mx = mask.shape
+    ky, kx = kernel.shape
+    fy, fx = my + ky - 1, mx + kx - 1
+    # next fast sizes (powers of small primes are fine; use next pow2-ish)
+    F1 = np.fft.rfft2(mask.astype(np.float32), s=(fy, fx))
+    F2 = np.fft.rfft2(kernel.astype(np.float32), s=(fy, fx))
+    conv = np.fft.irfft2(F1 * F2, s=(fy, fx))
+    oy, ox = ky // 2, kx // 2
+    out = conv[oy : oy + my, ox : ox + mx]
+    return out > 0.5
+
+
+def dilate(r: Raster, dist_m: float) -> Raster:
+    if dist_m <= 0:
+        return r
+    # half-cell correction: the source mask already has one-cell width,
+    # so the effective radius of cell-center dilation overshoots by
+    # ~g/2; shrink the disk accordingly (validated in tests: buffered-
+    # line area matches the analytic rect+caps value to ~1%)
+    return Raster(
+        _convolve_bool(r.mask, _disk(max(dist_m / r.g - 0.5, 0.0))), r.x0, r.y0, r.g
+    )
+
+
+def erode(r: Raster, dist_m: float) -> Raster:
+    if dist_m <= 0:
+        return r
+    inv = ~r.mask
+    return Raster(~_convolve_bool(inv, _disk(max(dist_m / r.g - 0.5, 0.0))), r.x0, r.y0, r.g)
+
+
+def closing(r: Raster, p_m: float) -> Raster:
+    """buffer(+p) then buffer(-p): fills gaps < 2p (G:9035-9039)."""
+    return erode(dilate(r, p_m), p_m)
+
+
+def opening(r: Raster, n_m: float) -> Raster:
+    """buffer(-n) then buffer(+n): cuts corridors < 2n wide — the
+    road-cut step (G:9046-9051)."""
+    return dilate(erode(r, n_m), n_m)
+
+
+def buffer_polyline(
+    xy: np.ndarray, dist_m: float, g: float = DEFAULT_GRID_M, extra_pad_m: float = 0.0
+) -> Raster:
+    """Corridor buffer of a polyline (round caps/joins by construction
+    of the disk dilation — JTS CAP_ROUND analogue)."""
+    pad = dist_m + extra_pad_m + 2 * g
+    return dilate(rasterize_polyline(xy, pad, g), dist_m)
+
+
+# ----------------------------------------------------------- vectorize
+_DIR_RIGHT, _DIR_UP, _DIR_LEFT, _DIR_DOWN = 0, 1, 2, 3
+
+
+def trace_rings(r: Raster, simplify_tol: float | None = None) -> list[tuple[np.ndarray, bool]]:
+    """Extract the mask boundary as closed rings in metric coords.
+
+    Returns [(ring Nx2, is_shell), ...]: shells are CCW (positive
+    area), holes CW. Pixel-edge loops stitched with interior-on-the-
+    left orientation; ambiguous checkerboard corners resolved by
+    preferring the left turn (8-connected background split), which
+    keeps each loop simple. Rings optionally Douglas-Peucker smoothed
+    (tol in meters) to remove the grid staircase."""
+    m = r.mask
+    ny, nx = m.shape
+    pad = np.zeros((ny + 2, nx + 2), dtype=bool)
+    pad[1:-1, 1:-1] = m
+    # directed boundary edges, interior to the left:
+    #   bottom (neighbor below empty): (x,y)->(x+1,y)      dir RIGHT
+    #   top    (above empty):          (x+1,y+1)->(x,y+1)  dir LEFT
+    #   left   (left empty):           (x,y+1)->(x,y)      dir DOWN
+    #   right  (right empty):          (x+1,y)->(x+1,y+1)  dir UP
+    fy, fx = np.nonzero(m)
+    below = ~pad[fy, fx + 1]
+    above = ~pad[fy + 2, fx + 1]
+    left = ~pad[fy + 1, fx]
+    right = ~pad[fy + 1, fx + 2]
+
+    # edge key: (vx, vy, dir) from start vertex
+    edges: dict[tuple[int, int, int], tuple[int, int]] = {}
+    for (vx, vy, d, ex, ey) in (
+        (fx[below], fy[below], _DIR_RIGHT, fx[below] + 1, fy[below]),
+        (fx[above] + 1, fy[above] + 1, _DIR_LEFT, fx[above], fy[above] + 1),
+        (fx[left], fy[left] + 1, _DIR_DOWN, fx[left], fy[left]),
+        (fx[right] + 1, fy[right], _DIR_UP, fx[right] + 1, fy[right] + 1),
+    ):
+        for i in range(len(vx)):
+            edges[(int(vx[i]), int(vy[i]), d)] = (int(ex[i]), int(ey[i]))
+
+    # at each vertex, outgoing edges indexed by direction
+    out_by_vertex: dict[tuple[int, int], list[int]] = {}
+    for (vx, vy, d) in edges:
+        out_by_vertex.setdefault((vx, vy), []).append(d)
+
+    # left-turn preference: incoming dir d -> try (d+1)%4 (left), d, (d-1)%4
+    rings: list[tuple[np.ndarray, bool]] = []
+    visited: set[tuple[int, int, int]] = set()
+    for start_key in list(edges.keys()):
+        if start_key in visited:
+            continue
+        loop = []
+        key = start_key
+        while key not in visited:
+            visited.add(key)
+            vx, vy, d = key
+            loop.append((vx, vy))
+            ex, ey = edges[key]
+            dirs = out_by_vertex.get((ex, ey), [])
+            nd = None
+            for cand in ((d + 1) % 4, d, (d + 3) % 4):
+                if cand in dirs and (ex, ey, cand) not in visited:
+                    nd = cand
+                    break
+            if nd is None:
+                # loop closes (back to start) or dead end
+                loop.append((ex, ey))
+                break
+            key = (ex, ey, nd)
+        if len(loop) < 4:
+            continue
+        arr = np.asarray(loop, dtype=np.float64)
+        if not np.array_equal(arr[0], arr[-1]):
+            arr = np.vstack([arr, arr[:1]])
+        # to metric coords
+        ring = np.empty_like(arr)
+        ring[:, 0] = r.x0 + arr[:, 0] * r.g
+        ring[:, 1] = r.y0 + arr[:, 1] * r.g
+        signed2 = np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
+        is_shell = signed2 > 0
+        if simplify_tol and simplify_tol > 0:
+            body = douglas_peucker(ring[:-1], simplify_tol)
+            if len(body) >= 3:
+                ring = np.vstack([body, body[:1]])
+        rings.append((ring, bool(is_shell)))
+    return rings
+
+
+def rings_to_polygons(rings: list[tuple[np.ndarray, bool]]) -> list[list[np.ndarray]]:
+    """Group (ring, is_shell) into polygons: each hole is attached to
+    the smallest shell containing its first vertex."""
+    shells = [(ring, abs_area(ring)) for ring, s in rings if s]
+    holes = [ring for ring, s in rings if not s]
+    shells.sort(key=lambda t: t[1])  # smallest first
+    polys: list[list[np.ndarray]] = [[s] for s, _ in shells]
+    for hole in holes:
+        px, py = hole[0, 0], hole[0, 1]
+        for i, (shell, _a) in enumerate(shells):
+            if points_in_ring([px], [py], shell)[0]:
+                polys[i].append(hole)
+                break
+    # emit largest-first (stable, reference sorts by area where relevant)
+    order = np.argsort([-abs_area(p[0]) for p in polys])
+    return [polys[i] for i in order]
+
+
+def abs_area(ring: np.ndarray) -> float:
+    return float(
+        abs(np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])) / 2.0
+    )
+
+
+def rasterize_rings(
+    rings: list[np.ndarray], x0: float, y0: float, nx: int, ny: int, g: float
+) -> np.ndarray:
+    """Even-odd fill of rings onto a given grid (cell-center test),
+    vectorized scanline via points_in_ring per row block."""
+    mask = np.zeros((ny, nx), dtype=bool)
+    cxs = x0 + (np.arange(nx) + 0.5) * g
+    cys = y0 + (np.arange(ny) + 0.5) * g
+    gx, gy = np.meshgrid(cxs, cys)
+    flat_x, flat_y = gx.ravel(), gy.ravel()
+    inside = np.zeros(flat_x.shape[0], dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(flat_x, flat_y, ring)
+    return inside.reshape(ny, nx)

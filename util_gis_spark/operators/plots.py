@@ -1,0 +1,291 @@
+"""Plot construction composites — the reference's two flagship entry
+points re-expressed as grouped-map operators:
+
+- get_farm_plot (G:13420-13507): filter -> project -> simplifyByAngle
+  -> corridor buffer(width/2) -> closing(clamp(width,2,8)) ->
+  unproject -> FarmPlot(wkt, mu, times, count, mileage).
+- split_road (G:13655-14203): adds cadence windows, per-window DBSCAN
+  with presets, sampling, opening (road cut), part flattening with
+  area/point filters, and the 80%-overlap dedup.
+
+One (device_id) group = one reference invocation, run inside
+applyInPandas; geometry built with the raster morphology engine
+(geo/morphology.py — disk dilation/erosion = JTS +/- buffers).
+The time-overlap re-split algorithms 0/1 (G:13903-14089) are not yet
+ported (tracked for a later round); plots are emitted sorted by first
+point time like the reference (G:13884-13899).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..geo import gauss, morphology as M
+from ..geo.geometry import points_in_polygon
+from ..geo.sphere import calc_mu, np_polygon_area_m2
+from .clustering import eps_minpts_preset, np_dbscan
+from .sampling import np_fast_distance_sampling, np_simplify_by_angle
+
+MIN_RETURN_MU = 0.55  # G:390
+MIN_RETURN_POINTS = 60  # G:399
+MAX_WINDOW_INTERVAL_S = 20  # G:13747: discard windows with interval > 20 s
+OVERLAP_DEDUP_RATIO = 0.8  # G:14091-14140
+GRID_M = 0.5
+
+
+def _clamp_closing(width: float) -> float:
+    """p = clamp(width, 2, 8) (G:13686-13690)."""
+    return float(min(max(width, 2.0), 8.0))
+
+
+def _planar_mileage(x: np.ndarray, y: np.ndarray) -> float:
+    if len(x) < 2:
+        return 0.0
+    return float(np.sum(np.hypot(np.diff(x), np.diff(y))))
+
+
+def _polygon_to_wgs84(poly_rings: list[np.ndarray], zone: int):
+    """Unproject rings (Gauss m -> WGS84 deg); returns rings + mu."""
+    out = []
+    for ring in poly_rings:
+        lon, lat, _ = gauss.gauss_inverse(ring[:, 0], ring[:, 1], zone=zone)
+        out.append(np.column_stack([lon, lat]))
+    mu = calc_mu(np_polygon_area_m2(out))
+    return out, mu
+
+
+def _rings_wkt(rings: list[np.ndarray]) -> str:
+    from ..geo.geometry import polygon_wkt
+
+    return polygon_wkt(rings)
+
+
+def build_farm_plot(
+    xy: np.ndarray,
+    ts_s: np.ndarray,
+    zone: int,
+    working_width: float,
+    grid_m: float = GRID_M,
+) -> list[dict]:
+    """Single-plot construction on one projected trajectory
+    (getFarmPlot core). Returns 0..n plot dicts (multi parts possible
+    after closing, reference keeps the buffered geometry whole)."""
+    if len(xy) < 2:
+        return []
+    keep = np_simplify_by_angle(xy)
+    sxy = xy[keep]
+    p = _clamp_closing(working_width)
+    r = M.buffer_polyline(sxy, working_width / 2.0, g=grid_m, extra_pad_m=2 * p)
+    r = M.closing(r, p)
+    rings = M.trace_rings(r, simplify_tol=grid_m)
+    polys = M.rings_to_polygons(rings)
+    plots = []
+    mileage = _planar_mileage(xy[:, 0], xy[:, 1])
+    for rings_g in polys:
+        wgs_rings, mu = _polygon_to_wgs84(rings_g, zone)
+        plots.append(
+            {
+                "wkt": _rings_wkt(wgs_rings),
+                "mu": mu,
+                "start_ts": float(ts_s.min()),
+                "end_ts": float(ts_s.max()),
+                "n_points": int(len(xy)),
+                "mileage_m": round(mileage, 3),
+            }
+        )
+    return plots
+
+
+def build_split_road_plots(
+    xy: np.ndarray,
+    ts_s: np.ndarray,
+    zone: int,
+    working_width: float,
+    grid_m: float = GRID_M,
+    min_return_mu: float = MIN_RETURN_MU,
+    min_return_points: int = MIN_RETURN_POINTS,
+) -> list[dict]:
+    """splitRoad core over one projected, quality+speed-filtered
+    trajectory: cadence windows -> per-window sampling + DBSCAN ->
+    per-cluster morphology (buffer/closing/OPENING to cut roads) ->
+    flatten parts, area/point filters -> 80%-overlap dedup ->
+    time-sorted plots."""
+    from .windows import np_split_time_windows
+
+    n = len(xy)
+    if n < min_return_points:
+        return []
+    win_id, win_label = np_split_time_windows(ts_s.astype(np.int64))
+    plots: list[dict] = []
+    p_close = _clamp_closing(working_width)
+    n_open = float(working_width)
+
+    for wid in np.unique(win_id):
+        sel = win_id == wid
+        interval = int(win_label[sel][0])
+        if interval > MAX_WINDOW_INTERVAL_S:
+            continue  # G:13747
+        wxy, wts = xy[sel], ts_s[sel]
+        if len(wxy) < min_return_points:
+            continue
+        keep = np_fast_distance_sampling(wxy)
+        sxy, sts = wxy[keep], wts[keep]
+        eps, min_pts = eps_minpts_preset(max(interval, 1))
+        labels = np_dbscan(sxy, eps, min_pts)
+        for cl in range(labels.max() + 1 if labels.size else 0):
+            cxy = sxy[labels == cl]
+            cts = sts[labels == cl]
+            if len(cxy) < 2:
+                continue
+            skeep = np_simplify_by_angle(cxy)
+            line = cxy[skeep]
+            r = M.buffer_polyline(line, working_width / 2.0, g=grid_m, extra_pad_m=2 * p_close)
+            r = M.closing(r, p_close)
+            r = M.opening(r, n_open)
+            rings = M.trace_rings(r, simplify_tol=grid_m)
+            for rings_g in M.rings_to_polygons(rings):
+                # part must contain >= 1 cluster point (G:13850-13870)
+                inside = points_in_polygon(cxy[:, 0], cxy[:, 1], rings_g)
+                if not inside.any():
+                    continue
+                n_in = int(inside.sum())
+                if n_in <= min_return_points:
+                    continue
+                wgs_rings, mu = _polygon_to_wgs84(rings_g, zone)
+                if mu <= min_return_mu:
+                    continue
+                pts_in = cts[inside]
+                plots.append(
+                    {
+                        "wkt": _rings_wkt(wgs_rings),
+                        "mu": mu,
+                        "start_ts": float(pts_in.min()),
+                        "end_ts": float(pts_in.max()),
+                        "n_points": n_in,
+                        "mileage_m": round(_planar_mileage(cxy[:, 0], cxy[:, 1]), 3),
+                        "_rings_g": rings_g,
+                    }
+                )
+
+    plots.sort(key=lambda pl: pl["start_ts"])  # G:13884-13899
+    plots = _dedup_overlaps(plots, grid_m)
+    for pl in plots:
+        pl.pop("_rings_g", None)
+    return plots
+
+
+def _dedup_overlaps(plots: list[dict], grid_m: float) -> list[dict]:
+    """Drop a plot if >= 80% of its area is covered by an already-kept
+    LARGER plot (G:14091-14140); raster overlap on a shared grid."""
+    if len(plots) <= 1:
+        return plots
+    order = sorted(range(len(plots)), key=lambda i: -plots[i]["mu"])
+    kept: list[int] = []
+    for i in order:
+        ri = plots[i]["_rings_g"]
+        env_i = _rings_env(ri)
+        drop = False
+        for j in kept:
+            rj = plots[j]["_rings_g"]
+            env_j = _rings_env(rj)
+            if not _env_intersect(env_i, env_j):
+                continue
+            ratio = _overlap_ratio(ri, rj, grid_m)
+            if ratio >= OVERLAP_DEDUP_RATIO:
+                drop = True
+                break
+        if not drop:
+            kept.append(i)
+    kept_set = set(kept)
+    return [p for k, p in enumerate(plots) if k in kept_set]
+
+
+def _rings_env(rings: list[np.ndarray]):
+    allc = np.vstack(rings)
+    return (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
+
+
+def _env_intersect(a, b) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def _overlap_ratio(target: list[np.ndarray], larger: list[np.ndarray], g: float) -> float:
+    """area(target AND larger) / area(target) on a shared raster."""
+    x0 = min(_rings_env(target)[0], _rings_env(larger)[0]) - g
+    y0 = min(_rings_env(target)[1], _rings_env(larger)[1]) - g
+    x1 = max(_rings_env(target)[2], _rings_env(larger)[2]) + g
+    y1 = max(_rings_env(target)[3], _rings_env(larger)[3]) + g
+    nx = max(int(np.ceil((x1 - x0) / g)), 2)
+    ny = max(int(np.ceil((y1 - y0) / g)), 2)
+    mt = M.rasterize_rings(target, x0, y0, nx, ny, g)
+    ml = M.rasterize_rings(larger, x0, y0, nx, ny, g)
+    at = mt.sum()
+    if at == 0:
+        return 0.0
+    return float((mt & ml).sum()) / float(at)
+
+
+# ---------------------------------------------------------- Spark layer
+PLOT_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.LongType()),
+        T.StructField("plot_seq", T.IntegerType()),
+        T.StructField("wkt", T.StringType()),
+        T.StructField("mu", T.DoubleType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("mileage_m", T.DoubleType()),
+    ]
+)
+
+
+def _plots_to_pdf(device_id, plots: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "device_id": np.int64(device_id),
+            "plot_seq": np.arange(len(plots), dtype=np.int32),
+            "wkt": [p["wkt"] for p in plots],
+            "mu": [p["mu"] for p in plots],
+            "start_ts": pd.to_datetime([p["start_ts"] for p in plots], unit="s"),
+            "end_ts": pd.to_datetime([p["end_ts"] for p in plots], unit="s"),
+            "n_points": np.array([p["n_points"] for p in plots], dtype=np.int64),
+            "mileage_m": [p["mileage_m"] for p in plots],
+        }
+    )
+
+
+def _traj_arrays(pdf: pd.DataFrame):
+    pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+    lon = pdf["lon"].to_numpy(np.float64)
+    lat = pdf["lat"].to_numpy(np.float64)
+    zone = gauss.unified_zone(float(lon.min()), float(lon.max()))
+    x, y, _ = gauss.gauss_forward(lon, lat, zone=zone)
+    ts_s = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+    return np.column_stack([x, y]), ts_s, zone
+
+
+def get_farm_plot(points_df: DataFrame, working_width: float) -> DataFrame:
+    """DataFrame operator: one FarmPlot set per device (expects
+    quality-filtered WGS84 points with device_id/ts/lon/lat)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xy, ts_s, zone = _traj_arrays(pdf)
+        plots = build_farm_plot(xy, ts_s, zone, working_width)
+        return _plots_to_pdf(key[0], plots)
+
+    return points_df.groupBy("device_id").applyInPandas(run, schema=PLOT_SCHEMA)
+
+
+def split_road(points_df: DataFrame, working_width: float, **kw) -> DataFrame:
+    """DataFrame operator: multi-plot road-splitting per device."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xy, ts_s, zone = _traj_arrays(pdf)
+        plots = build_split_road_plots(xy, ts_s, zone, working_width, **kw)
+        return _plots_to_pdf(key[0], plots)
+
+    return points_df.groupBy("device_id").applyInPandas(run, schema=PLOT_SCHEMA)

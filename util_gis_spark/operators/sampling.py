@@ -1,0 +1,118 @@
+"""Trajectory thinning / sampling kernels (order-dependent sequential
+scans in the reference -> per-trajectory numpy passes inside
+applyInPandas here).
+
+- simplify_by_angle        (G:5269-5411; params G:489/499/508)
+- fast_distance_sampling   (G:7786-7860; params G:527/537)
+
+Both are exact re-implementations of the reference control flow so
+that plot geometry built on top matches point-for-point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MIN_EDGE_LEN_M = 0.5  # G:489 noise edge
+MIN_ANGLE_DEG = 10.0  # G:499 corner threshold
+MAX_EDGE_LEN_M = 1.0  # G:508 accumulated-length force keep
+FDS_MIN_DIST_M = 0.5  # G:527
+FDS_KEEP_RATIO = 0.1  # G:537 -> keep 1 per floor(1/0.1)=10 in dense runs
+
+
+def np_simplify_by_angle(
+    xy: np.ndarray,
+    min_edge_len: float = MIN_EDGE_LEN_M,
+    min_angle_deg: float = MIN_ANGLE_DEG,
+    max_edge_len: float = MAX_EDGE_LEN_M,
+) -> np.ndarray:
+    """Boolean keep-mask over points (endpoints always kept,
+    G:5301/5391). Sequential thinning: edges < min_edge_len are noise
+    (skipped without advancing the anchor); a point is kept when the
+    turn angle at it exceeds min_angle_deg or the accumulated kept
+    length exceeds max_edge_len."""
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = True
+    if n <= 2:
+        keep[-1] = True
+        return keep
+    x, y = xy[:, 0], xy[:, 1]
+    last = 0
+    acc = 0.0
+    for i in range(1, n - 1):
+        dx1, dy1 = x[i] - x[last], y[i] - y[last]
+        len1 = float(np.hypot(dx1, dy1))
+        if len1 < min_edge_len:
+            continue
+        acc += len1
+        dx2, dy2 = x[i + 1] - x[i], y[i + 1] - y[i]
+        turn = abs(np.arctan2(dy2, dx2) - np.arctan2(dy1, dx1))
+        if turn > np.pi:
+            turn = 2 * np.pi - turn
+        if np.degrees(turn) > min_angle_deg or acc > max_edge_len:
+            keep[i] = True
+            last = i
+            acc = 0.0
+    keep[-1] = True
+    return keep
+
+
+def np_fast_distance_sampling(
+    xy: np.ndarray,
+    min_distance: float = FDS_MIN_DIST_M,
+    keep_ratio: float = FDS_KEEP_RATIO,
+) -> np.ndarray:
+    """Boolean keep-mask: keep a point if >= min_distance from the last
+    kept; inside dense runs keep 1 per int(1/keep_ratio) via a skip
+    counter (exact reference control flow, G:7830)."""
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = True
+    x, y = xy[:, 0], xy[:, 1]
+    lx, ly = x[0], y[0]
+    skip = 0
+    thresh = int(1.0 / keep_ratio)
+    for i in range(1, n):
+        d = np.hypot(x[i] - lx, y[i] - ly)
+        if d < min_distance:
+            skip += 1
+            if skip >= thresh:
+                keep[i] = True
+                lx, ly = x[i], y[i]
+                skip = 0
+        else:
+            keep[i] = True
+            lx, ly = x[i], y[i]
+            skip = 0
+    return keep
+
+
+def simplify_by_angle(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
+    """DataFrame form: keep the simplified subset of each trajectory
+    (input must carry x/y from project_trajectories and be groupable)."""
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        mask = np_simplify_by_angle(pdf[["x", "y"]].to_numpy(np.float64))
+        return pdf.loc[mask]
+
+    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+
+
+def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        mask = np_fast_distance_sampling(pdf[["x", "y"]].to_numpy(np.float64))
+        return pdf.loc[mask]
+
+    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)

@@ -1,0 +1,197 @@
+"""Sequential window operators that need per-trajectory state machines
+(applyInPandas) rather than SQL windows:
+
+- split_time_windows: the cadence session machine (G:6249-6424):
+  force-split when dt > 300 s; switch window when a different dt value
+  repeats >= 59 times consecutively; window label = majority-vote dt
+  (tie -> smaller; the reference's HashMap stream-max is order-
+  unstable, we pin the deterministic choice); merge adjacent windows
+  with the same label (G:6603-6647).
+- median_smooth_speeds: centered k-point median filter of x/y +
+  two-sided speed + low-speed-run removal (G:7251-7386).
+- split_time_overlaps / has_time_overlap (G:8385-8485, G:10128-10151).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_INTERVAL_S = 300  # G:556
+MIN_CONSECUTIVE = 59  # G:547
+
+
+def np_split_time_windows(
+    ts_seconds: np.ndarray,
+    max_interval_s: int = MAX_INTERVAL_S,
+    min_consecutive: int = MIN_CONSECUTIVE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact port of the reference state machine over one time-sorted
+    trajectory. Returns (window_id per point, window_label per point)
+    AFTER the adjacent-same-label merge."""
+    n = len(ts_seconds)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    raw_id = np.zeros(n, dtype=np.int64)
+    windows: list[tuple[int, list[int]]] = []  # (label, point indices)
+
+    cur: list[int] = [0]
+    counts: dict[int, int] = {}
+    cur_type: int | None = None
+    consec = 0
+    last_type: int | None = None
+
+    def vote() -> int:
+        if not counts:
+            return 0
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        return best[0]
+
+    for i in range(n - 1):
+        dt = int(ts_seconds[i + 1] - ts_seconds[i])
+        if dt > max_interval_s:
+            if cur:
+                windows.append((vote(), cur))
+            cur = [i + 1]
+            counts = {}
+            cur_type = None
+            consec = 0
+            last_type = None
+            continue
+        counts[dt] = counts.get(dt, 0) + 1
+        if cur_type is None:
+            cur_type = dt
+        consec = consec + 1 if dt == last_type else 1
+        if dt != cur_type and consec >= min_consecutive:
+            if cur:
+                windows.append((vote(), cur))
+            cur = [i, i + 1]
+            counts = {dt: 1}
+            cur_type = dt
+            consec = 0
+        else:
+            cur.append(i + 1)
+        last_type = dt
+
+    if cur:
+        windows.append((vote(), cur))
+
+    # merge adjacent same-label windows (G:6603-6647)
+    merged: list[tuple[int, list[int]]] = []
+    for label, idx in windows:
+        if merged and merged[-1][0] == label:
+            merged[-1][1].extend(idx)
+        else:
+            merged.append((label, list(idx)))
+
+    win_id = np.zeros(n, dtype=np.int64)
+    win_label = np.zeros(n, dtype=np.int64)
+    for wid, (label, idx) in enumerate(merged):
+        arr = np.asarray(idx, dtype=np.int64)
+        win_id[arr] = wid
+        win_label[arr] = label
+    del raw_id
+    return win_id, win_label
+
+
+def split_time_windows(df: DataFrame, group_cols=("device_id",)) -> DataFrame:
+    """Adds window_id + window_interval_s per point. Note: points can
+    appear in two raw windows at a cadence switch (the reference puts
+    the pivot point in both); the merged assignment keeps the LAST
+    window's id for such points, preserving per-window membership
+    counts to within the reference's own duplication."""
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("window_interval_s", T.LongType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        secs = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
+        wid, lab = np_split_time_windows(secs)
+        out = pdf.copy()
+        out["window_id"] = wid
+        out["window_interval_s"] = lab
+        return out
+
+    return df.groupBy(*group_cols).applyInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------- smoothing
+def np_median_smooth(
+    x: np.ndarray,
+    y: np.ndarray,
+    ts_s: np.ndarray,
+    k: int = 5,
+    speed_threshold_ms: float = 0.05,
+    min_parking_s: float = 120.0,
+) -> np.ndarray:
+    """Median-filter smoothing + low-speed-run removal (G:7251-7386).
+    Returns keep-mask. Median window is centered, shrunk at the edges
+    (G:7271-7276); speed(i) = mean of dist/dt to prev and next on the
+    SMOOTHED track, edges = inf (G:7303-7340); runs with speed <=
+    threshold lasting >= min_parking_s are dropped (G:7346-7382)."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    half = k // 2
+    sx = np.empty(n)
+    sy = np.empty(n)
+    for i in range(n):
+        lo, hi = max(0, i - half), min(n, i + half + 1)
+        sx[i] = np.median(x[lo:hi])
+        sy[i] = np.median(y[lo:hi])
+    speed = np.full(n, np.inf)
+    if n >= 3:
+        d_prev = np.hypot(sx[1:-1] - sx[:-2], sy[1:-1] - sy[:-2])
+        d_next = np.hypot(sx[2:] - sx[1:-1], sy[2:] - sy[1:-1])
+        dt_prev = np.maximum(ts_s[1:-1] - ts_s[:-2], 1e-9)
+        dt_next = np.maximum(ts_s[2:] - ts_s[1:-1], 1e-9)
+        speed[1:-1] = (d_prev / dt_prev + d_next / dt_next) / 2.0
+    keep = np.ones(n, dtype=bool)
+    slow = speed <= speed_threshold_ms
+    i = 0
+    while i < n:
+        if slow[i]:
+            j = i
+            while j + 1 < n and slow[j + 1]:
+                j += 1
+            if ts_s[j] - ts_s[i] >= min_parking_s:
+                keep[i : j + 1] = False
+            i = j + 1
+        else:
+            i += 1
+    return keep
+
+
+def median_smooth_filter(df_projected: DataFrame, group_cols=("device_id",), **kw) -> DataFrame:
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        mask = np_median_smooth(
+            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
+        )
+        return pdf.loc[mask]
+
+    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------- time overlaps
+def has_time_overlap(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFrame:
+    """hasTimeOverlap (G:10128-10151): sort ranges by start; overlap
+    iff any previous end > next start."""
+    w = Window.partitionBy(*group_cols).orderBy("start_ts")
+    flagged = ranges_df.withColumn("_prev_end", F.lag("end_ts").over(w)).withColumn(
+        "_ovl", (F.col("_prev_end") > F.col("start_ts")).cast("int")
+    )
+    return flagged.groupBy(*group_cols).agg(
+        (F.coalesce(F.sum("_ovl"), F.lit(0)) > 0).alias("has_overlap")
+    )

@@ -99,6 +99,46 @@ def q_gps_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_farm_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getFarmPlot composite over dense field trajectories (rows-only
+    check: geometry construction is not SQL-expressible)."""
+    from .operators.plots import get_farm_plot
+
+    return get_farm_plot(D.field_trajectories(spark, sf_dir), working_width=3.0).select(
+        "device_id", "plot_seq", F.round("mu", 4).alias("mu"), "n_points", "mileage_m"
+    )
+
+
+def q_split_road_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitRoad composite (rows-only check)."""
+    from .operators.plots import split_road
+
+    return split_road(D.field_trajectories(spark, sf_dir), working_width=3.0).select(
+        "device_id", "plot_seq", F.round("mu", 4).alias("mu"), "n_points", "start_ts", "end_ts"
+    )
+
+
+def q_gps_gauss_mileage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar Gauss-plane mileage (getJobMileage G:10189) over field
+    trajectories (rows-only: TM projection is not SQL-expressible)."""
+    from .operators.projection import gauss_mileage, project_trajectories
+
+    return gauss_mileage(project_trajectories(D.field_trajectories(spark, sf_dir)))
+
+
+def q_gps_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence session windows (splitTimeWindows G:6249) summary
+    (rows-only: sequential state machine)."""
+    from .operators.windows import split_time_windows
+
+    out = split_time_windows(D.gps_points(spark, sf_dir))
+    return out.groupBy("device_id", "window_id", "window_interval_s").agg(
+        F.count("*").alias("n_points"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
 # ------------------------------------------------------------------- images
 def q_images_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship coarse+refine PIP join (cell equi-join flavor):
@@ -245,6 +285,10 @@ def catalogue() -> dict:
         "gps_speed_histogram": q_gps_speed_histogram,
         "gps_geofence": q_gps_geofence,
         "gps_headings": q_gps_headings,
+        "gps_gauss_mileage": q_gps_gauss_mileage,
+        "gps_time_windows": q_gps_time_windows,
+        "farm_plots": q_farm_plots,
+        "split_road_plots": q_split_road_plots,
         "images_pip_join": q_images_pip_join,
         "images_pip_counts": q_images_pip_counts,
         "images_tile_cover": q_images_tile_cover,
