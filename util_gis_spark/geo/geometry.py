@@ -250,6 +250,58 @@ def geom_envelope(parsed) -> tuple[float, float, float, float] | None:
     return float(allc[:, 0].min()), float(allc[:, 1].min()), float(allc[:, 0].max()), float(allc[:, 1].max())
 
 
+def is_convex_ring(ring: np.ndarray) -> bool:
+    r = close_ring(np.asarray(ring, dtype=np.float64))
+    if len(r) < 4:
+        return False
+    v = np.diff(r, axis=0)
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    cross = np.append(cross, v[-1, 0] * v[0, 1] - v[-1, 1] * v[0, 0])
+    nz = cross[np.abs(cross) > 0]
+    return bool(len(nz) == 0 or (nz > 0).all() or (nz < 0).all())
+
+
+def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    r = close_ring(np.asarray(ring, dtype=np.float64))
+    signed2 = np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
+    return r if signed2 >= 0 else r[::-1]
+
+
+def convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip a polygon ring by a CONVEX ring.
+    Returns the clipped ring (possibly empty). Exact vertex arithmetic
+    — used by the intersection operator when the clip side is convex;
+    general polygon pairs fall back to the raster engine."""
+    clip = _ensure_ccw(clip)
+    out = close_ring(np.asarray(subject, dtype=np.float64))[:-1].tolist()
+    for i in range(len(clip) - 1):
+        if not out:
+            return np.zeros((0, 2))
+        ax, ay = clip[i]
+        bx, by = clip[i + 1]
+        ex, ey = bx - ax, by - ay
+        nxt = []
+        prev = out[-1]
+        prev_in = ex * (prev[1] - ay) - ey * (prev[0] - ax) >= 0
+        for cur in out:
+            cur_in = ex * (cur[1] - ay) - ey * (cur[0] - ax) >= 0
+            if cur_in != prev_in:
+                # intersection of segment prev->cur with the clip line
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                den = ex * dy - ey * dx
+                if den != 0:
+                    t = (ex * (prev[1] - ay) - ey * (prev[0] - ax)) / -den
+                    nxt.append([prev[0] + t * dx, prev[1] + t * dy])
+            if cur_in:
+                nxt.append(list(cur))
+            prev, prev_in = cur, cur_in
+        out = nxt
+    if len(out) < 3:
+        return np.zeros((0, 2))
+    arr = np.asarray(out, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
 # ------------------------------------------------------------------ misc
 def shoelace_area(ring: np.ndarray) -> float:
     """Planar signed area x2 -> abs/2 (used on Gauss-plane coords)."""

@@ -221,7 +221,16 @@ def trace_rings(r: Raster, simplify_tol: float | None = None) -> list[tuple[np.n
         signed2 = np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
         is_shell = signed2 > 0
         if simplify_tol and simplify_tol > 0:
-            body = douglas_peucker(ring[:-1], simplify_tol)
+            body = ring[:-1]
+            if len(body) > 1024:
+                # chunked DP: linear instead of O(n^2) on huge
+                # staircase rings; slightly less aggressive, same tol
+                parts = [
+                    douglas_peucker(body[i : i + 512 + 1], simplify_tol)[:-1]
+                    for i in range(0, len(body), 512)
+                ]
+                body = np.vstack(parts)
+            body = douglas_peucker(body, simplify_tol) if len(body) <= 4096 else body
             if len(body) >= 3:
                 ring = np.vstack([body, body[:1]])
         rings.append((ring, bool(is_shell)))
@@ -255,14 +264,32 @@ def abs_area(ring: np.ndarray) -> float:
 def rasterize_rings(
     rings: list[np.ndarray], x0: float, y0: float, nx: int, ny: int, g: float
 ) -> np.ndarray:
-    """Even-odd fill of rings onto a given grid (cell-center test),
-    vectorized scanline via points_in_ring per row block."""
-    mask = np.zeros((ny, nx), dtype=bool)
-    cxs = x0 + (np.arange(nx) + 0.5) * g
-    cys = y0 + (np.arange(ny) + 0.5) * g
-    gx, gy = np.meshgrid(cxs, cys)
-    flat_x, flat_y = gx.ravel(), gy.ravel()
-    inside = np.zeros(flat_x.shape[0], dtype=bool)
+    """Even-odd fill of rings onto a grid via scanline crossing parity
+    (classic polygon scan conversion, O(crossings) + one cumsum):
+    for each edge, the crossing column per row-center is accumulated,
+    then a cumulative-parity sweep along x fills the interior of the
+    cell-center test."""
+    cross = np.zeros((ny, nx + 1), dtype=np.int64)
     for ring in rings:
-        inside ^= points_in_ring(flat_x, flat_y, ring)
-    return inside.reshape(ny, nx)
+        r = np.asarray(ring, dtype=np.float64)
+        if not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        x1s, y1s, x2s, y2s = r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+        for x1, y1, x2, y2 in zip(x1s, y1s, x2s, y2s):
+            if y1 == y2:
+                continue
+            ylo, yhi = (y1, y2) if y1 < y2 else (y2, y1)
+            # rows whose center cy satisfies ylo <= cy < yhi
+            j0 = max(int(np.ceil((ylo - y0) / g - 0.5)), 0)
+            j1 = min(int(np.ceil((yhi - y0) / g - 0.5)), ny)
+            if j1 <= j0:
+                continue
+            rows = np.arange(j0, j1)
+            cy = y0 + (rows + 0.5) * g
+            xint = x1 + (cy - y1) * (x2 - x1) / (y2 - y1)
+            # crossing affects cells with center cx > xint:
+            # first affected column index = ceil((xint-x0)/g - 0.5)
+            cols = np.ceil((xint - x0) / g - 0.5).astype(np.int64)
+            cols = np.clip(cols, 0, nx)  # nx == beyond-right sentinel
+            np.add.at(cross, (rows, cols), 1)
+    return (np.cumsum(cross[:, :nx], axis=1) % 2).astype(bool)

@@ -1,0 +1,209 @@
+"""Training-data deduplication operators over the documents table:
+
+- exact dedup (md5 hash-groupBy) — in queries.py
+- MinHash + LSH banding -> candidate pairs -> exact Jaccard verify
+- SimHash (bit-majority fingerprint) + hamming-radius pairs
+- n-gram Jaccard verification kernel
+
+Everything is JVM-side Spark HOFs (transform/aggregate/filter) — no
+Python UDFs — and every constant lives HERE so the Spark pipeline and
+the DuckDB oracle (built by the *_sql functions) cannot drift.
+
+Scale notes: MinHash-LSH is the linear-scale path (band buckets ->
+shuffle join on (band, hash)); exact pairwise Jaccard only runs on
+band-collision candidates. At 10^12 docs the band join is the same
+cell-join pattern as the spatial engine: hash-partition on band
+bucket, AQE skew handling for hot buckets (boilerplate dedup text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+MOD30 = 1 << 30  # shingle hash domain (keeps a*h within int64)
+_A = [(37 + 8 * i) * 2654435761 % 1048573 for i in range(N_HASHES)]  # a_i < 2^20
+_B = [(101 + 31 * i) * 48271 % MOD30 for i in range(N_HASHES)]
+_P = 1073741789  # largest prime < 2^30
+
+
+def _toks(col: str = "text"):
+    return F.filter(F.split(F.col(col), r"\s+"), lambda x: F.length(x) > 0)
+
+
+def _toks_sql(col: str = "text") -> str:
+    return f"list_filter(string_split_regex({col}, '\\s+'), x -> length(x) > 0)"
+
+
+def bigrams_expr():
+    """Distinct word 2-gram shingles as an array column (Spark)."""
+    return F.expr(
+        "array_distinct(CASE WHEN size(_toks) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(_toks)-2), i -> concat(_toks[i], ' ', _toks[i+1])) END)"
+    )
+
+
+def bigrams_sql() -> str:
+    return (
+        "list_distinct(CASE WHEN len(_toks) < 2 THEN [] ELSE "
+        "list_transform(generate_series(1, len(_toks)-1), i -> concat(_toks[i], ' ', _toks[i+1])) END)"
+    )
+
+
+def shingle_hash_expr():
+    """Per-shingle 30-bit hash from md5 (identical in both engines)."""
+    return F.expr(
+        f"transform(_shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MOD30})"
+    )
+
+
+def shingle_hash_sql() -> str:
+    return (
+        "list_transform(_shingles, s -> "
+        f"cast(concat('0x', substring(md5(s), 1, 15)) as bigint) % {MOD30})"
+    )
+
+
+def minhash_sig_expr() -> str:
+    """SQL-text expression (used via F.expr) computing the 16-value
+    signature array from _hashes; shared shape with the oracle."""
+    parts = ", ".join(
+        f"array_min(transform(_hashes, h -> ({a} * h + {b}) % {_P}))" for a, b in zip(_A, _B)
+    )
+    return f"array({parts})"
+
+
+def minhash_sig_sql() -> str:
+    parts = ", ".join(
+        f"list_min(list_transform(_hashes, h -> ({a} * h + {b}) % {_P}))" for a, b in zip(_A, _B)
+    )
+    return f"[{parts}]"
+
+
+def band_hash_expr(band: int) -> str:
+    lo = band * ROWS_PER_BAND
+    cols = ", ".join(f"cast(_sig[{lo + i}] as string)" for i in range(ROWS_PER_BAND))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+def band_hash_sql(band: int) -> str:
+    lo = band * ROWS_PER_BAND + 1  # DuckDB lists are 1-based
+    cols = ", ".join(f"cast(_sig[{lo + i}] as varchar)" for i in range(ROWS_PER_BAND))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+def minhash_near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs colliding in >= 1 LSH band and
+    passing the exact shingle-Jaccard verify. doc_a < doc_b."""
+    base = (
+        docs.select("doc_id", "text")
+        .withColumn("_toks", _toks())
+        .withColumn("_shingles", bigrams_expr())
+        .withColumn("_hashes", shingle_hash_expr())
+        .filter(F.size("_shingles") > 0)
+        .withColumn("_sig", F.expr(minhash_sig_expr()))
+    )
+    bands = None
+    for b in range(N_BANDS):
+        part = base.select(
+            "doc_id", "_shingles", F.lit(b).alias("band"), F.expr(band_hash_expr(b)).alias("bh")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("_shingles").alias("sa"), "band", "bh"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("_shingles").alias("sb"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter / union, 4)
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs_sql(jaccard_threshold: float = 0.5) -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, _shingles, {b} AS band, {band_hash_sql(b)} AS bh FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_toks_sql()} AS _toks, text FROM documents
+), sh AS (
+  SELECT doc_id, {bigrams_sql()} AS _shingles FROM base
+), hashed AS (
+  SELECT doc_id, _shingles, {shingle_hash_sql()} AS _hashes FROM sh WHERE len(_shingles) > 0
+), sigs AS (
+  SELECT doc_id, _shingles, {minhash_sig_sql()} AS _sig FROM hashed
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l._shingles AS sa, r._shingles AS sb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+               / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4) AS jaccard
+  FROM cand
+) WHERE jaccard >= {jaccard_threshold}
+"""
+
+
+# ------------------------------------------------------------------ simhash
+SIMHASH_BITS = 16
+
+
+def simhash_expr() -> str:
+    """16-bit SimHash over token hashes: bit i set iff the majority of
+    tokens have bit i set in their 30-bit hash (strict majority: 2*cnt
+    > n). Built as one SQL expression usable in both engines modulo
+    array-function spelling."""
+    terms = []
+    for i in range(SIMHASH_BITS):
+        cnt = f"size(filter(_hashes, h -> cast(h / {1 << i} as bigint) % 2 = 1))"
+        terms.append(f"(CASE WHEN 2 * {cnt} > size(_hashes) THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def simhash_sql() -> str:
+    terms = []
+    for i in range(SIMHASH_BITS):
+        cnt = f"len(list_filter(_hashes, h -> cast(floor(h / {1 << i}) as bigint) % 2 = 1))"
+        terms.append(f"(CASE WHEN 2 * {cnt} > len(_hashes) THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — token-level 16-bit simhash."""
+    return (
+        docs.select("doc_id", "text")
+        .withColumn("_toks", _toks())
+        .withColumn("_shingles", F.array_distinct("_toks"))
+        .withColumn("_hashes", shingle_hash_expr())
+        .filter(F.size("_hashes") > 0)
+        .select("doc_id", F.expr(simhash_expr()).cast("long").alias("simhash"))
+    )
+
+
+def simhash_docs_sql() -> str:
+    return f"""
+SELECT doc_id, CAST({simhash_sql()} AS BIGINT) AS simhash FROM (
+  SELECT doc_id, {shingle_hash_sql()} AS _hashes FROM (
+    SELECT doc_id, list_distinct({_toks_sql()}) AS _shingles FROM documents
+  ) WHERE len(_shingles) > 0
+)
+"""

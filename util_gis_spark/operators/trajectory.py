@@ -147,6 +147,79 @@ FROM (
 """
 
 
+def speed_average(df: DataFrame) -> DataFrame:
+    """getSpeedAverage (G:4085-4189): time-weighted mean speed
+    sum(dist)/sum(dt) over segments whose millisecond dt is within
+    0.1 s of the device's modal whole-second interval and whose speed
+    is <= 200 m/s; 0 when no segment qualifies."""
+    w = _DEV_W()
+    stepped = (
+        with_prev(df)
+        .withColumn(
+            "dt_ms",
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("prev_ts").cast("timestamp")),
+        )
+        .filter(F.col("prev_ts").isNotNull() & (F.col("dt_ms") > 0))
+        .withColumn(
+            "dist_m",
+            haversine_m(F.col("prev_lon"), F.col("prev_lat"), F.col("lon"), F.col("lat")),
+        )
+    )
+    modal = modal_interval(df).select("device_id", "modal_interval_s")
+    seg = stepped.join(modal, "device_id").filter(
+        (F.abs(F.col("dt_ms") / 1000.0 - F.col("modal_interval_s")) <= 0.1)
+        & (F.col("dist_m") / (F.col("dt_ms") / 1000.0) <= 200.0)
+    )
+    agg = seg.groupBy("device_id").agg(
+        F.sum("dist_m").alias("_d"), F.sum(F.col("dt_ms") / 1000.0).alias("_t")
+    )
+    return modal.join(agg, "device_id", "left").select(
+        "device_id",
+        F.round(
+            F.when(F.col("_t").isNull() | (F.col("_t") == 0), 0.0).otherwise(
+                F.col("_d") / F.col("_t")
+            ),
+            4,
+        ).alias("speed_avg_ms"),
+    )
+
+
+def speed_average_sql(points_src: str) -> str:
+    hv = haversine_sql("prev_lon", "prev_lat", "lon", "lat")
+    return f"""
+WITH stepped AS (
+  SELECT device_id, ts, lon, lat,
+         lag(lon) OVER w AS prev_lon, lag(lat) OVER w AS prev_lat,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS dt_ms
+  FROM ({points_src})
+  WINDOW w AS (PARTITION BY device_id ORDER BY ts, point_id)
+), modal AS (
+  SELECT device_id, dt_s AS modal_interval_s FROM (
+    SELECT device_id, dt_s, count(*) AS cnt,
+           row_number() OVER (PARTITION BY device_id ORDER BY count(*) DESC, dt_s ASC) AS _rn
+    FROM (
+      SELECT device_id,
+             date_diff('second', lag(ts) OVER (PARTITION BY device_id ORDER BY ts, point_id), ts) AS dt_s
+      FROM ({points_src})
+    ) WHERE dt_s IS NOT NULL AND dt_s > 0
+    GROUP BY device_id, dt_s
+  ) WHERE _rn = 1
+), seg AS (
+  SELECT s.device_id, {hv} AS dist_m, s.dt_ms / 1000.0 AS dt_s
+  FROM stepped s JOIN modal m ON s.device_id = m.device_id
+  WHERE s.prev_lon IS NOT NULL AND s.dt_ms > 0
+    AND abs(s.dt_ms / 1000.0 - m.modal_interval_s) <= 0.1
+    AND ({hv}) / (s.dt_ms / 1000.0) <= 200.0
+)
+SELECT m.device_id,
+       round(CASE WHEN a._t IS NULL OR a._t = 0 THEN 0.0 ELSE a._d / a._t END, 4) AS speed_avg_ms
+FROM modal m LEFT JOIN (
+  SELECT device_id, sum(dist_m) AS _d, sum(dt_s) AS _t FROM seg GROUP BY device_id
+) a ON m.device_id = a.device_id
+"""
+
+
 def speed_histogram(df: DataFrame) -> DataFrame:
     """calcSpeedDistribution (G:9905-9958): speed km/h -> m/s (x 1/3.6,
     G:715), bucket = ceil(ms*10)/10 capped at 1.0."""

@@ -22,7 +22,8 @@ from .geo.sphere import (
     in_rectangle,
     in_rectangle_sql,
 )
-from .operators import filters, joins, trajectory
+from .operators import dedup, filters, joins, trajectory
+from .operators import ranges as ranges_mod
 
 # Geofence constants (inside the synthetic world box)
 _CIRCLE = (116.2, 39.7, 5000.0)  # clon, clat, radius_m
@@ -69,6 +70,10 @@ def q_gps_speed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory.speed_histogram(D.gps_points(spark, sf_dir))
 
 
+def q_gps_speed_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory.speed_average(filters.filter_wgs84_points(D.gps_points(spark, sf_dir)))
+
+
 def q_gps_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-device counts inside a circle geofence (strict < r,
     G:11116-11124) and an open rectangle (G:11267-11303)."""
@@ -97,6 +102,67 @@ def q_gps_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
             heading_deg(F.col("prev_lon"), F.col("prev_lat"), F.col("lon"), F.col("lat")), 4
         ).alias("heading_deg"),
     )
+
+
+_CLIP_RECT = (116.03, 39.53, 116.21, 39.71)
+_CLIP_WKT = (
+    f"POLYGON (({_CLIP_RECT[0]} {_CLIP_RECT[1]}, {_CLIP_RECT[2]} {_CLIP_RECT[1]}, "
+    f"{_CLIP_RECT[2]} {_CLIP_RECT[3]}, {_CLIP_RECT[0]} {_CLIP_RECT[3]}, "
+    f"{_CLIP_RECT[0]} {_CLIP_RECT[1]}))"
+)
+
+
+def q_polygon_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersection(wkt, wkt) with mu (G:11768-11848): every polygon-
+    layer geometry clipped by a fixed query rectangle; exact convex
+    clip + spherical mu."""
+    from .operators.geometry_ops import intersect_with_clip
+
+    out = intersect_with_clip(D.polygons_wkt(spark, sf_dir), _CLIP_WKT)
+    return out.filter(F.col("inter_mu") > 0).select("polygon_id", "inter_mu")
+
+
+def q_wkt_4d_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wktTo4DArray export (G:10649-10809) over the polygon layer
+    (rows-only: nested-array hashing not oracle-stable)."""
+    from .geo.geometry import wkt_to_4d_array
+
+    @F.udf("array<array<array<array<double>>>>")
+    def to4d(w):
+        return wkt_to_4d_array(w)
+
+    p = D.polygons_wkt(spark, sf_dir)
+    return p.select(
+        "polygon_id",
+        F.size(to4d(F.col("wkt"))[0][0]).alias("n_points_ring0"),
+    )
+
+
+def q_merge_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeWgs84WKT n-ary union aggregate (rows-only: raster union
+    area is grid-approximate)."""
+    from .operators.geometry_ops import merge_wkts_agg
+
+    p = D.polygons_wkt(spark, sf_dir).withColumn("grp", F.col("polygon_id") % 5)
+    out = merge_wkts_agg(p, ["grp"])
+    return out.select("grp", F.round("mu", 1).alias("mu_approx"))
+
+
+def q_polygon_time_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enter/exit intervals of trajectories vs the polygon layer
+    (splitPolygonTimeRanges G:8550-8668)."""
+    from .operators.ranges import polygon_time_ranges
+
+    pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    return polygon_time_ranges(pts, D.polygons_wkt(spark, sf_dir))
+
+
+def q_polygon_time_ranges_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent same-polygon range merge (getPolygonTimeRanges)."""
+    from .operators.ranges import merge_adjacent_ranges, polygon_time_ranges
+
+    pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    return merge_adjacent_ranges(polygon_time_ranges(pts, D.polygons_wkt(spark, sf_dir)))
 
 
 def q_farm_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +315,20 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp"))
 
 
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify."""
+    from .operators.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(D.load(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level 16-bit SimHash fingerprint per document."""
+    from .operators.dedup import simhash_docs
+
+    return simhash_docs(D.load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------- embeddings
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for probe vectors
@@ -282,11 +362,17 @@ def catalogue() -> dict:
         "gps_mileage": q_gps_mileage,
         "gps_sessions": q_gps_sessions,
         "gps_modal_interval": q_gps_modal_interval,
+        "gps_speed_average": q_gps_speed_average,
         "gps_speed_histogram": q_gps_speed_histogram,
         "gps_geofence": q_gps_geofence,
         "gps_headings": q_gps_headings,
         "gps_gauss_mileage": q_gps_gauss_mileage,
         "gps_time_windows": q_gps_time_windows,
+        "polygon_time_ranges": q_polygon_time_ranges,
+        "polygon_time_ranges_merged": q_polygon_time_ranges_merged,
+        "polygon_intersection": q_polygon_intersection,
+        "wkt_4d_array": q_wkt_4d_array,
+        "merge_polygons": q_merge_polygons,
         "farm_plots": q_farm_plots,
         "split_road_plots": q_split_road_plots,
         "images_pip_join": q_images_pip_join,
@@ -298,6 +384,8 @@ def catalogue() -> dict:
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash": q_docs_simhash,
         "embed_topk": q_embed_topk,
     }
 
@@ -328,6 +416,7 @@ SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
         "gps_mileage": _with(pts, trajectory.great_circle_mileage_sql("SELECT * FROM fpts")),
         "gps_sessions": _with(pts, trajectory.session_summary_sql("SELECT * FROM fpts", 300)),
         "gps_modal_interval": _with(pts, trajectory.modal_interval_sql("SELECT * FROM fpts")),
+        "gps_speed_average": trajectory.speed_average_sql(_filtered_sql()),
         "gps_speed_histogram": _with(
             {"pts": D.GPS_POINTS_SQL}, trajectory.speed_histogram_sql("SELECT * FROM pts")
         ),
@@ -431,6 +520,28 @@ SELECT doc_id, pred_lang, (pred_lang = lang) AS agree FROM (
             "SELECT doc_id, CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS fp "
             "FROM documents"
         ),
+        "polygon_time_ranges": ranges_mod.polygon_time_ranges_sql(
+            _filtered_sql(), D.POLYGONS_SQL
+        ),
+        "polygon_time_ranges_merged": ranges_mod.merge_adjacent_ranges_sql(
+            ranges_mod.polygon_time_ranges_sql(_filtered_sql(), D.POLYGONS_SQL)
+        ),
+        "polygon_intersection": _with(
+            {"pol": D.POLYGONS_SQL},
+            f"""
+SELECT polygon_id,
+       floor(abs((radians(ix1) - radians(ix0)) * (sin(radians(iy1)) - sin(radians(iy0))))
+             * 6378137.0 * 6378137.0 * 15.0 + 0.5) / 10000.0 AS inter_mu
+FROM (
+  SELECT polygon_id,
+         greatest(xmin, {_CLIP_RECT[0]}) AS ix0, greatest(ymin, {_CLIP_RECT[1]}) AS iy0,
+         least(xmax, {_CLIP_RECT[2]}) AS ix1, least(ymax, {_CLIP_RECT[3]}) AS iy1
+  FROM pol
+) WHERE ix1 > ix0 AND iy1 > iy0
+""",
+        ),
+        "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
+        "docs_simhash": dedup.simhash_docs_sql(),
         "embed_topk": """
 SELECT probe_id, neighbor_id, cos_sim FROM (
   SELECT probe_id, neighbor_id, cos_sim,
