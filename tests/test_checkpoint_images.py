@@ -1,0 +1,106 @@
+"""Checkpoint/resume pipeline + multimodal image plumbing tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from util_gis_spark import datasets as D
+from util_gis_spark.io.checkpoint import CheckpointedPipeline
+from util_gis_spark.operators import images as I
+
+
+class TestCheckpoint:
+    def test_stage_writes_manifest_and_resumes(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ckpt")
+        pipe = CheckpointedPipeline(spark, root)
+
+        calls = {"n": 0}
+
+        def build_src():
+            calls["n"] += 1
+            return D.images(spark, sf_dir).select("image_key", "lon", "lat")
+
+        df1 = pipe.stage("src", build_src)
+        n1 = df1.count()
+        meta = json.load(open(os.path.join(root, "src", "_SUCCESS_META.json")))
+        assert meta["rows"] == n1
+        assert meta["bytes"] > 0 and len(meta["partitions"]) >= 1
+        assert not pipe.results["src"].resumed
+
+        # second pipeline over the same root resumes without rewriting
+        pipe2 = CheckpointedPipeline(spark, root)
+        df2 = pipe2.stage("src", build_src)
+        assert pipe2.results["src"].resumed
+        assert df2.count() == n1
+
+    def test_dependent_stage_and_lineage(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ckpt2")
+        pipe = CheckpointedPipeline(spark, root)
+        pipe.stage("src", lambda: D.images(spark, sf_dir).select("image_key", "lon", "lat"))
+        agg = pipe.stage(
+            "agg",
+            lambda src: src.groupBy((F.col("image_key") % 7).alias("k")).count(),
+            deps=["src"],
+        )
+        assert agg.count() == 7
+        m = pipe.manifest()
+        assert set(m) == {"src", "agg"} and m["agg"]["rows"] == 7
+        meta = json.load(open(os.path.join(root, "agg", "_SUCCESS_META.json")))
+        assert meta["deps"] == ["src"]
+
+    def test_changed_plan_invalidates(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ckpt3")
+        pipe = CheckpointedPipeline(spark, root)
+        pipe.stage("s", lambda: D.images(spark, sf_dir).select("image_key"))
+        pipe2 = CheckpointedPipeline(spark, root)
+        pipe2.stage("s", lambda: D.images(spark, sf_dir).select("image_key").filter("image_key % 2 = 0"))
+        assert not pipe2.results["s"].resumed  # fingerprint changed -> recomputed
+
+
+class TestImages:
+    def test_decode_stats_shape(self, spark, sf_dir):
+        imgs = D.images_with_bytes(spark, sf_dir).limit(20)
+        out = I.decode_stats(imgs).collect()
+        assert len(out) == 20
+        for r in out:
+            assert 0 <= r["mean_lum"] <= 255 and r["n_pixels"] > 0
+
+    def test_decode_deterministic(self, spark, sf_dir):
+        imgs = D.images_with_bytes(spark, sf_dir).limit(10)
+        a = {r["image_id"]: r["mean_lum"] for r in I.decode_stats(imgs).collect()}
+        b = {r["image_id"]: r["mean_lum"] for r in I.decode_stats(imgs).collect()}
+        assert a == b
+
+    def test_psnr_invariant_lossy_ge_40(self, spark, sf_dir):
+        imgs = D.images_with_bytes(spark, sf_dir).limit(20)
+        out = I.reencode_roundtrip_check(imgs, lossy=True).collect()
+        assert all(r["psnr_db"] >= 40.0 for r in out)
+
+    def test_psnr_lossless_is_inf(self, spark, sf_dir):
+        imgs = D.images_with_bytes(spark, sf_dir).limit(5)
+        out = I.reencode_roundtrip_check(imgs, lossy=False).collect()
+        assert all(r["psnr_db"] == 999.0 for r in out)
+
+    def test_caption_bytes_preserved(self, spark, sf_dir):
+        imgs = D.images_with_bytes(spark, sf_dir).limit(20)
+        out = I.reencode_roundtrip_check(imgs, lossy=True)
+        violations = I.caption_byte_equality(imgs, out)
+        assert violations.count() == 0
+
+    def test_psnr_kernel(self):
+        import numpy as np
+
+        a = np.zeros((8, 8, 3), dtype=np.uint8)
+        assert I.psnr(a, a) == float("inf")
+        b = a.copy()
+        b[0, 0, 0] = 16  # one pixel off by 16
+        assert 30 < I.psnr(a, b) < 60
+
+    def test_phash_near_dups(self, spark):
+        rows = [(1, 0b101010), (2, 0b101011), (3, (1 << 47) - 12345)]
+        df = spark.createDataFrame(rows, "image_key long, phash long")
+        out = I.phash_hamming_dups(df, max_hamming=4).collect()
+        pairs = {(r["key_a"], r["key_b"]): r["hamming"] for r in out}
+        assert pairs == {(1, 2): 1}

@@ -1,0 +1,107 @@
+"""Approximate nearest neighbor over embeddings (array<float>).
+
+- Brute-force cosine top-k (queries.q_embed_topk) is the exact
+  baseline: JVM higher-order functions, O(P x N).
+- LSH variant (here): deterministic random-hyperplane signatures — bit
+  j of the bucket is sign(dot(v, h_j)) with h_j[d] derived from an
+  integer hash, so the SAME plane values are expressible in Spark
+  (0-based transform index) and DuckDB (1-based) and the bucketing is
+  engine-independent. Probes only compare against candidates in their
+  bucket: O(P x N / 2^bits) — the scale path; recall is traded via
+  `bits`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _plane_term(j: int) -> str:
+    """plane(j, d) = ((j*131 + d) * 2654435761 % 2000)/1000 - 1.0, d 0-based."""
+    return f"((({j}*131 + d) * 2654435761) % 2000) / 1000.0 - 1.0"
+
+
+def bucket_expr(v_col: str = "v") -> str:
+    """Spark SQL expression: LSH bucket id of an array<double> column."""
+    bits = []
+    for j in range(N_PLANES):
+        dot = (
+            f"aggregate(transform({v_col}, (x, d) -> x * ({_plane_term(j)})), "
+            f"cast(0.0 as double), (a, x) -> a + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def bucket_sql(v_col: str = "v") -> str:
+    """DuckDB twin (1-based list index -> d = i-1)."""
+    bits = []
+    for j in range(N_PLANES):
+        term = f"((({j}*131 + (i-1)) * 2654435761) % 2000) / 1000.0 - 1.0"
+        dot = (
+            f"list_aggregate(list_transform(generate_series(1, len({v_col})), "
+            f"i -> {v_col}[i] * ({term})), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _cos_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (norm(F.col(a)) * norm(F.col(b)))
+
+
+def ann_lsh_topk(
+    embeddings_df: DataFrame,
+    probe_filter: str = "vec_id % 100 = 0",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k cosine neighbors per probe WITHIN its LSH bucket.
+    Output (probe_id, neighbor_id, cos_sim, bucket)."""
+    e = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
+    probes = e.filter(probe_filter).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "bucket"
+    )
+    joined = probes.join(e, "bucket").filter(F.col("probe_id") != F.col("vec_id"))
+    scored = joined.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos_expr("pv", "v"), 5).alias("cos_sim"),
+        "bucket",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def ann_lsh_topk_sql(probe_filter: str = "vec_id % 100 = 0", k: int = 3) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0
+), probes AS (
+  SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE {probe_filter}
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id, p.bucket,
+         round(
+           list_aggregate(list_transform(list_zip(p.pv, e.v), t -> t[1] * t[2]), 'sum')
+           / (sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))
+              * sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))),
+           5) AS cos_sim
+  FROM probes p JOIN e ON p.bucket = e.bucket AND p.probe_id <> e.vec_id
+)
+SELECT probe_id, neighbor_id, cos_sim, bucket FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS _rk
+  FROM scored
+) WHERE _rk <= {k}
+"""

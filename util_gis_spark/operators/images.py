@@ -1,0 +1,172 @@
+"""Multimodal (image payload) operators.
+
+The input table carries opaque `bytes` with typed metadata
+(image_id, w, h, fmt, caption, phash) per BASELINE.json input_hint.
+Real codecs (PIL/ffmpeg) are NOT in this container, so decode is a
+deterministic fake — a seeded-by-content pixel generator — behind the
+same Arrow plumbing a real decoder would use (mapInPandas over binary
+columns, batch-shaped numpy). The Spark-side schema, partitioning,
+UDF signatures and batch shapes are real and tested; swapping
+`_decode_stub` for `PIL.Image.open` is a one-function change.
+
+Invariant helpers: caption byte-equality and decoded-pixel PSNR
+(>= 40 dB for lossy re-encodes) — the per-row invariants the north
+rule requires when the pipeline re-encodes payloads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _decode_stub(data: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic fake decode: pixels seeded by the byte content.
+    Stands in for a real codec (not available in this container);
+    the contract is the same: bytes -> (h, w, 3) uint8."""
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _encode_stub(pixels: np.ndarray, lossy: bool) -> bytes:
+    """Fake re-encode: lossless = raw bytes; lossy = quantize to 6
+    bits/channel (PSNR ~ 43 dB) then raw. Deterministic."""
+    if lossy:
+        pixels = (pixels & 0xFC) | 0x02
+    return pixels.tobytes()
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def decode_stats(images_df: DataFrame, max_pixels: int = 64 * 64) -> DataFrame:
+    """Decode (stub) + per-image pixel stats — the feature-extraction
+    plumbing: binary column -> Arrow batch -> numpy -> stats columns.
+    Downsamples to max_pixels to bound batch memory (the real-decoder
+    analogue of thumbnail extraction)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("mean_lum", T.DoubleType()),
+            T.StructField("std_lum", T.DoubleType()),
+            T.StructField("n_pixels", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means, stds, npx = [], [], [], []
+            for _, row in pdf.iterrows():
+                w = min(int(row["w"]), 64)
+                h = min(int(row["h"]), 64)
+                px = _decode_stub(bytes(row["bytes"]), w, h)
+                lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                ids.append(row["image_id"])
+                means.append(round(float(lum.mean()), 4))
+                stds.append(round(float(lum.std()), 4))
+                npx.append(w * h)
+            yield pd.DataFrame(
+                {"image_id": ids, "mean_lum": means, "std_lum": stds, "n_pixels": npx}
+            )
+
+    return images_df.select("image_id", "bytes", "w", "h").mapInPandas(run, schema=out_schema)
+
+
+def reencode_roundtrip_check(images_df: DataFrame, lossy: bool = True) -> DataFrame:
+    """Decode -> re-encode -> decode; emit per-image PSNR and caption
+    byte-equality — the invariant harness (PSNR >= 40 dB lossy,
+    == inf lossless; caption bytes must survive untouched)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("psnr_db", T.DoubleType()),
+            T.StructField("caption", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, psnrs = [], []
+            for _, row in pdf.iterrows():
+                w = min(int(row["w"]), 64)
+                h = min(int(row["h"]), 64)
+                px = _decode_stub(bytes(row["bytes"]), w, h)
+                enc = _encode_stub(px, lossy=lossy)
+                px2 = np.frombuffer(enc, dtype=np.uint8).reshape(h, w, 3)
+                ids.append(row["image_id"])
+                p = psnr(px, px2)
+                psnrs.append(999.0 if np.isinf(p) else round(p, 2))
+            yield pd.DataFrame({"image_id": ids, "psnr_db": psnrs, "caption": pdf["caption"].to_numpy()})
+
+    return images_df.select("image_id", "bytes", "w", "h", "caption").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def caption_byte_equality(src_df: DataFrame, out_df: DataFrame) -> DataFrame:
+    """End-to-end caption invariant: join pipeline output back to the
+    source on image_id and compare UTF-8 BYTES (not just string
+    equality) — returns rows that violate byte-for-byte preservation
+    (must be empty)."""
+    s = src_df.select("image_id", F.encode(F.col("caption"), "UTF-8").alias("_src_b"))
+    o = out_df.select("image_id", F.encode(F.col("caption"), "UTF-8").alias("_out_b"))
+    return s.join(o, "image_id").filter(F.col("_src_b") != F.col("_out_b"))
+
+
+def phash_hamming_dups_sql(images_src: str, max_hamming: int = 4) -> str:
+    """DuckDB oracle twin of phash_hamming_dups."""
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT image_key AS k, phash, {b} AS band, "
+        f"cast(floor(phash / {1 << (12 * b)}) as bigint) % 4096 AS bh FROM img"
+        for b in range(4)
+    )
+    return f"""
+WITH img AS ({images_src}), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.k AS a, r.k AS b, l.phash AS pa, r.phash AS pb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.k < r.k
+)
+SELECT a AS key_a, b AS key_b, cast(bit_count(xor(pa, pb)) as int) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}
+"""
+
+
+def phash_hamming_dups(images_df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate detection on the 48-bit perceptual hash: LSH by
+    hash BANDS (4 x 12-bit bands; two hashes within hamming distance
+    <= 4 share a band with high probability when distance is small),
+    then exact popcount verify — the image analogue of MinHash-LSH.
+    All JVM-side bit arithmetic."""
+    bands = None
+    for b in range(4):
+        part = images_df.select(
+            F.col("image_key").alias("k"),
+            F.col("phash"),
+            F.lit(b).alias("band"),
+            ((F.col("phash") / (1 << (12 * b))).cast("long") % 4096).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(F.col("k").alias("a"), F.col("phash").alias("pa"), "band", "bh")
+    right = bands.select(F.col("k").alias("b"), F.col("phash").alias("pb"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(pa ^ pb) as int)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a").alias("key_a"), F.col("b").alias("key_b"), "hamming")
+    )

@@ -32,7 +32,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -327,6 +327,84 @@ def knn_join_broadcast(
             yield out
 
     return probes_df.select(probe_id_col, lon_col, lat_col).mapInPandas(nearest, schema=schema)
+
+
+def knn_join_cells(
+    probes_df: DataFrame,
+    candidates_df: DataFrame,
+    res: int = 14,
+    probe_id_col: str = "probe_id",
+    cand_id_col: str = "cand_id",
+    levels: int = 4,
+) -> DataFrame:
+    """Large-large nearest-neighbor join, 100% JVM (no Python).
+
+    The distributed form of the reference's progressive tolerance
+    ladder (G:471, G:3503-3563): at each level probes equi-join
+    candidates in their 3x3 cell neighborhood at resolution r; the
+    per-probe minimum is CONFIRMED when dist < one cell size (no
+    candidate outside the 3x3 ring can be closer); unmatched probes
+    escalate to a 4x coarser resolution (ring expansion). Expects
+    probes (probe_id, lon, lat) and candidates (cand_id, lon, lat).
+    Returns (probe_id, nearest_id, dist_m)."""
+    spark = probes_df.sparkSession
+    out = None
+    remaining = probes_df.select(
+        F.col(probe_id_col).alias("probe_id"), F.col("lon").alias("plon"), F.col("lat").alias("plat")
+    )
+    cand_base = candidates_df.select(
+        F.col(cand_id_col).alias("cand_id"), F.col("lon").alias("clon"), F.col("lat").alias("clat")
+    )
+    from ..geo.sphere import haversine_m
+
+    for level in range(levels):
+        r = max(res - 2 * level, 2)
+        n = float(1 << r)
+        last = level == levels - 1
+        ix = F.greatest(F.least(F.floor((F.col("plon") + 180.0) / 360.0 * n), F.lit(n - 1)), F.lit(0.0)).cast("long")
+        iy = F.greatest(F.least(F.floor((F.col("plat") + 90.0) / 180.0 * n), F.lit(n - 1)), F.lit(0.0)).cast("long")
+        p = (
+            remaining.withColumn("_ix", ix)
+            .withColumn("_iy", iy)
+            .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .withColumn("_jy", F.col("_iy") + F.col("_dy"))
+            .filter((F.col("_jy") >= 0) & (F.col("_jy") < F.lit(int(n))))
+            .withColumn("_jx", F.pmod(F.col("_ix") + F.col("_dx"), F.lit(int(n))))
+            .withColumn(
+                "cell",
+                F.lit(r).cast("long") * F.lit(cells.RES_SHIFT)
+                + F.col("_jx") * F.lit(cells.IX_SHIFT)
+                + F.col("_jy"),
+            )
+            .select("probe_id", "plon", "plat", "cell")
+        )
+        c = cand_base.withColumn(
+            "cell", cells.cell_expr(F.col("clon"), F.col("clat"), r)
+        )
+        joined = p.join(c, "cell").withColumn(
+            "dist_m", haversine_m(F.col("plon"), F.col("plat"), F.col("clon"), F.col("clat"))
+        )
+        w = Window.partitionBy("probe_id").orderBy("dist_m", "cand_id")
+        best = (
+            joined.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("probe_id", "plon", "plat", F.col("cand_id").alias("nearest_id"), "dist_m")
+        )
+        # safe acceptance radius: one cell size in meters at the probe
+        # latitude (anything outside the 3x3 ring is farther)
+        cell_h_m = 180.0 / n * 111194.93
+        cell_w_m = F.lit(360.0 / n * 111194.93) * F.cos(F.radians(F.col("plat")))
+        guard = F.least(F.lit(cell_h_m), cell_w_m)
+        accepted = best if last else best.filter(F.col("dist_m") < guard)
+        confirmed = accepted.select("probe_id", "nearest_id", "dist_m")
+        out = confirmed if out is None else out.unionByName(confirmed)
+        if last:
+            break
+        remaining = remaining.join(
+            confirmed.select("probe_id"), "probe_id", "left_anti"
+        )
+    return out
 
 
 def tile_cover_exprs(lon: str, lat: str, half_w_deg: str, half_h_deg: str, res: int):

@@ -23,6 +23,8 @@ from .geo.sphere import (
     in_rectangle_sql,
 )
 from .operators import dedup, filters, joins, trajectory
+from .operators import ann as ann_mod
+from .operators import images as images_mod
 from .operators import ranges as ranges_mod
 
 # Geofence constants (inside the synthetic world box)
@@ -254,6 +256,35 @@ def q_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "nearest_id", F.round("dist_m", 3).alias("dist_m"))
 
 
+def q_images_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs: 12-bit-band LSH + popcount
+    verify (image analogue of MinHash-LSH)."""
+    from .operators.images import phash_hamming_dups
+
+    return phash_hamming_dups(D.images(spark, sf_dir), max_hamming=6)
+
+
+def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode + luminance stats (rows-only: decode is the
+    deterministic codec stand-in; plumbing is real Arrow/binary)."""
+    from .operators.images import decode_stats
+
+    return decode_stats(D.images_with_bytes(spark, sf_dir))
+
+
+def q_images_psnr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format min PSNR of the lossy re-encode roundtrip (rows-only;
+    the >= 40 dB invariant is asserted in tests)."""
+    from .operators.images import reencode_roundtrip_check
+
+    imgs = D.images_with_bytes(spark, sf_dir)
+    out = reencode_roundtrip_check(imgs, lossy=True)
+    j = out.join(imgs.select("image_id", "fmt"), "image_id")
+    return j.groupBy("fmt").agg(
+        F.round(F.min("psnr_db"), 2).alias("min_psnr_db"), F.count("*").alias("n")
+    )
+
+
 # ---------------------------------------------------------------- documents
 def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on text, keeper = min doc_id."""
@@ -354,6 +385,29 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).drop("rk")
 
 
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 (random-hyperplane signatures) — the
+    scale path next to the brute-force baseline."""
+    from .operators.ann import ann_lsh_topk
+
+    return ann_lsh_topk(D.load(spark, sf_dir, "embeddings"))
+
+
+def q_images_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large kNN: nearest filtered GPS point per image via the
+    all-JVM cell ring-expansion ladder (knn_join_cells)."""
+    from .operators.joins import knn_join_cells
+
+    probes = D.images(spark, sf_dir).select(
+        F.col("image_key").alias("probe_id"), "lon", "lat"
+    )
+    cands = filters.filter_wgs84_points(D.gps_points(spark, sf_dir)).select(
+        F.col("point_id").alias("cand_id"), "lon", "lat"
+    )
+    out = knn_join_cells(probes, cands, res=12, levels=5)
+    return out.select("probe_id", "nearest_id", F.round("dist_m", 3).alias("dist_m"))
+
+
 # =============================================================== catalogues
 def catalogue() -> dict:
     return {
@@ -380,6 +434,9 @@ def catalogue() -> dict:
         "images_tile_cover": q_images_tile_cover,
         "images_tile_counts": q_images_tile_counts,
         "images_knn": q_images_knn,
+        "images_phash_dups": q_images_phash_dups,
+        "images_decode_stats": q_images_decode_stats,
+        "images_psnr_check": q_images_psnr_check,
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
@@ -387,6 +444,8 @@ def catalogue() -> dict:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash": q_docs_simhash,
         "embed_topk": q_embed_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "images_knn_points": q_images_knn_points,
     }
 
 
@@ -473,6 +532,7 @@ GROUP BY p.polygon_id
             + ") GROUP BY tile",
         ),
         "images_knn": _with({**img, **pol}, knn_body),
+        "images_phash_dups": images_mod.phash_hamming_dups_sql(D.IMAGES_SQL, 6),
         "docs_dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"
@@ -542,6 +602,21 @@ FROM (
         ),
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
         "docs_simhash": dedup.simhash_docs_sql(),
+        "embed_ann_lsh": ann_mod.ann_lsh_topk_sql(),
+        "images_knn_points": _with(
+            {**img, "fpts": _filtered_sql()},
+            f"""
+SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
+  SELECT i.image_key AS probe_id, p.point_id AS nearest_id,
+         {hv('i.lon', 'i.lat', 'p.lon', 'p.lat')} AS dist_m,
+         row_number() OVER (
+           PARTITION BY i.image_key
+           ORDER BY {hv('i.lon', 'i.lat', 'p.lon', 'p.lat')}, p.point_id
+         ) AS rk
+  FROM img i, fpts p
+) WHERE rk = 1
+""",
+        ),
         "embed_topk": """
 SELECT probe_id, neighbor_id, cos_sim FROM (
   SELECT probe_id, neighbor_id, cos_sim,
