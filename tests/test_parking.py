@@ -1,0 +1,85 @@
+"""Parking/drift detector fixtures: a parked-with-GPS-jitter cloud
+must read as drift; a working serpentine field must not."""
+
+import numpy as np
+import pytest
+
+from util_gis_spark.operators.parking import (
+    np_filter_parking_by_time_window,
+    np_split_time_overlaps,
+)
+
+
+class TestParkingWindow:
+    def test_parking_cloud_deleted(self):
+        rng = np.random.default_rng(3)
+        drive = np.column_stack([np.arange(0, 300, 3.0), np.zeros(100)])
+        cloud = np.tile([[300.0, 0.0]], (200, 1)) + rng.normal(0, 2.0, (200, 2))
+        xy = np.vstack([drive, cloud])
+        ts = np.arange(len(xy), dtype=float)
+        keep = np_filter_parking_by_time_window(
+            xy[:, 0], xy[:, 1], ts, window_s=100, min_points=50, max_range_m=20
+        )
+        assert keep[:100].all()  # moving part kept
+        assert not keep[100:].any()  # cloud dropped
+
+    def test_spread_track_untouched(self):
+        xy = np.column_stack([np.arange(0, 3000, 3.0), np.zeros(1000)])
+        ts = np.arange(1000, dtype=float)
+        keep = np_filter_parking_by_time_window(xy[:, 0], xy[:, 1], ts)
+        assert keep.all()
+
+
+class TestSplitTimeOverlaps:
+    def test_overlap_clipped(self):
+        out = np_split_time_overlaps([(0, 100), (50, 150), (200, 300)])
+        assert out == [(0, 49.0), (50, 150), (200, 300)]
+
+    def test_no_overlap_identity(self):
+        r = [(0, 10), (20, 30)]
+        assert np_split_time_overlaps(r) == r
+
+    def test_contained_range_dropped_or_clipped(self):
+        out = np_split_time_overlaps([(0, 100), (10, 20)])
+        # first clipped to 9; second survives
+        assert out == [(0, 9.0), (10, 20)]
+
+
+class TestDriftVerdict:
+    def test_drift_vs_field(self, spark):
+        import pandas as pd
+
+        from util_gis_spark.geo import gauss
+        from util_gis_spark.operators.parking import is_parking_drift
+        from util_gis_spark.operators.projection import project_trajectories
+
+        rng = np.random.default_rng(7)
+        # device 1: parked cloud, ~30 m jitter (area << 3 mu, headings random)
+        cloud = rng.normal(0, 8.0, (400, 2))
+        # device 2: serpentine field (large area, smooth headings)
+        from tests.test_plots_and_windows import serpentine
+
+        field = serpentine()
+        x0, y0, _ = gauss.gauss_forward(np.array([116.2]), np.array([39.7]), zone=50)
+
+        def to_lonlat(xy):
+            lon, lat, _ = gauss.gauss_inverse(xy[:, 0] + x0[0], xy[:, 1] + y0[0], zone=50)
+            return lon, lat
+
+        lon1, lat1 = to_lonlat(cloud)
+        lon2, lat2 = to_lonlat(field)
+        pdf = pd.DataFrame(
+            {
+                "device_id": np.concatenate([np.full(len(lon1), 1), np.full(len(lon2), 2)]).astype(np.int64),
+                "ts": pd.to_datetime(
+                    np.concatenate([np.arange(len(lon1)), np.arange(len(lon2))]), unit="s"
+                ),
+                "lon": np.concatenate([lon1, lon2]),
+                "lat": np.concatenate([lat1, lat2]),
+                "point_id": np.arange(len(lon1) + len(lon2), dtype=np.int64),
+            }
+        )
+        df = project_trajectories(spark.createDataFrame(pdf))
+        verdicts = {r["device_id"]: r["is_drift"] for r in is_parking_drift(df).collect()}
+        assert verdicts[1] is True
+        assert verdicts[2] is False

@@ -1,0 +1,142 @@
+"""Parking / drift detectors (GisUtil §parking):
+
+- grid_density_stats: 5 m grid occupancy on the Gauss plane
+  (G:10012-10086): dense cell = count > 20; drift flag when dense
+  cells / valid cells > 0.3.
+- is_parking_drift (G:10384-10495): verdict = 90%-distribution area
+  <= 3 mu AND heading change > 85 deg for >= 30% of valid points
+  (circular wrap fix G:10456).
+- filter_parking_by_time_window (G:7956-8065): sliding wall-clock
+  window (step = window/2); windows with >= min_points and bbox <=
+  max_range on both axes are parking clouds — their points are
+  dropped.
+- split_time_overlaps (G:8385-8485): cut segment time ranges so no
+  two [start,end] overlap; cut point = next start - 1 s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo.sphere import MU_PER_M2
+from .projection import distribution_area
+from .trajectory import heading_changes
+
+GRID_M = 5.0  # G:10036
+DENSE_COUNT = 20  # G:697
+DENSE_RATIO = 0.3  # G:706
+DRIFT_AREA_MU = 3.0  # G:599/651
+DRIFT_HEADING_DEG = 85.0  # G:660
+DRIFT_HEADING_RATIO = 0.3  # G:669
+
+
+def grid_density_stats(df_projected: DataFrame, grid_m: float = GRID_M) -> DataFrame:
+    """Per-device grid occupancy: n_cells, n_dense, dense_ratio,
+    drift flag."""
+    base = df_projected.groupBy("device_id").agg(
+        F.min("x").alias("_minx"), F.min("y").alias("_miny")
+    )
+    cells_df = (
+        df_projected.join(base, "device_id")
+        .withColumn("_gx", F.floor((F.col("x") - F.col("_minx")) / grid_m))
+        .withColumn("_gy", F.floor((F.col("y") - F.col("_miny")) / grid_m))
+        .groupBy("device_id", "_gx", "_gy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return cells_df.groupBy("device_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum((F.col("cnt") > DENSE_COUNT).cast("long")).alias("n_dense"),
+        F.round(
+            F.sum((F.col("cnt") > DENSE_COUNT).cast("long")) / F.count("*"), 4
+        ).alias("dense_ratio"),
+        (
+            F.sum((F.col("cnt") > DENSE_COUNT).cast("long")) / F.count("*") > DENSE_RATIO
+        ).alias("grid_drift"),
+    )
+
+
+def is_parking_drift(df_projected: DataFrame) -> DataFrame:
+    """Two-stage drift verdict per device."""
+    area = distribution_area(df_projected, ratio=0.9).select(
+        "device_id", (F.col("area_m2") * MU_PER_M2).alias("area_mu")
+    )
+    hc = heading_changes(df_projected)
+    turns = hc.filter(F.col("heading_change").isNotNull()).groupBy("device_id").agg(
+        F.count("*").alias("n_valid"),
+        F.sum((F.col("heading_change") > DRIFT_HEADING_DEG).cast("long")).alias("n_turns"),
+    )
+    j = area.join(turns, "device_id", "left").fillna({"n_valid": 0, "n_turns": 0})
+    return j.select(
+        "device_id",
+        F.round("area_mu", 4).alias("area_mu"),
+        F.round(
+            F.when(F.col("n_valid") > 0, F.col("n_turns") / F.col("n_valid")).otherwise(0.0), 4
+        ).alias("turn_ratio"),
+        (
+            (F.col("area_mu") <= DRIFT_AREA_MU)
+            & (F.col("n_valid") > 0)
+            & (F.col("n_turns") / F.col("n_valid") >= DRIFT_HEADING_RATIO)
+        ).alias("is_drift"),
+    )
+
+
+def np_filter_parking_by_time_window(
+    x: np.ndarray,
+    y: np.ndarray,
+    ts_s: np.ndarray,
+    window_s: float = 300.0,
+    min_points: int = 10,
+    max_range_m: float = 20.0,
+) -> np.ndarray:
+    """Keep-mask: sliding windows (step = window/2) whose point count
+    >= min_points and bbox <= max_range on both axes mark ALL their
+    points deleted (exact reference control flow)."""
+    n = len(ts_s)
+    keep = np.ones(n, dtype=bool)
+    if n == 0:
+        return keep
+    t0, t1 = ts_s[0], ts_s[-1]
+    step = window_s / 2.0
+    start = t0
+    while start <= t1:
+        sel = (ts_s >= start) & (ts_s < start + window_s)
+        idx = np.flatnonzero(sel)
+        if len(idx) >= min_points:
+            wx, wy = x[idx], y[idx]
+            if (wx.max() - wx.min() <= max_range_m) and (wy.max() - wy.min() <= max_range_m):
+                keep[idx] = False
+        start += step
+    return keep
+
+
+def filter_parking_by_time_window(df_projected: DataFrame, **kw) -> DataFrame:
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        mask = np_filter_parking_by_time_window(
+            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
+        )
+        return pdf.loc[mask]
+
+    return df_projected.groupBy("device_id").applyInPandas(run, schema=schema)
+
+
+def np_split_time_overlaps(ranges: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """splitTimeOverlaps: sort by start; clip each range's end to
+    next_start - 1 s when it overlaps the next (iterated to fixpoint
+    in the reference; a single sorted pass is the fixpoint here)."""
+    if not ranges:
+        return []
+    out = sorted(ranges)
+    res = []
+    for i, (s, e) in enumerate(out):
+        if i + 1 < len(out) and e > out[i + 1][0]:
+            e = out[i + 1][0] - 1.0
+        if e >= s:
+            res.append((s, e))
+    return res

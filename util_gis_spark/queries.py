@@ -207,6 +207,25 @@ def q_gps_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_parking_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isParkingDrift verdict per trajectory (rows-only: needs Gauss
+    projection)."""
+    from .operators.parking import is_parking_drift
+    from .operators.projection import project_trajectories
+
+    pts = project_trajectories(D.field_trajectories(spark, sf_dir))
+    return is_parking_drift(pts)
+
+
+def q_gps_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density parking stats (rows-only)."""
+    from .operators.parking import grid_density_stats
+    from .operators.projection import project_trajectories
+
+    pts = project_trajectories(D.field_trajectories(spark, sf_dir))
+    return grid_density_stats(pts)
+
+
 # ------------------------------------------------------------------- images
 def q_images_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship coarse+refine PIP join (cell equi-join flavor):
@@ -427,6 +446,8 @@ def catalogue() -> dict:
         "polygon_intersection": q_polygon_intersection,
         "wkt_4d_array": q_wkt_4d_array,
         "merge_polygons": q_merge_polygons,
+        "gps_parking_drift": q_gps_parking_drift,
+        "gps_grid_density": q_gps_grid_density,
         "farm_plots": q_farm_plots,
         "split_road_plots": q_split_road_plots,
         "images_pip_join": q_images_pip_join,
