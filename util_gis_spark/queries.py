@@ -207,6 +207,39 @@ def q_gps_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_protocol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-string fallback parse (TestUtilGis.java:35-68): build
+    the reference's `SUBMIT$seq$did$CMD$k:v,k:v` wire format from the
+    events table, then parse the typed fields back out — the k:v map
+    split done with string/regex column functions (no UDF). Also
+    extracts props JSON (get_json_object / json_extract twin)."""
+    e = D.load(spark, sf_dir, "events")
+    wire = F.concat_ws(
+        "$",
+        F.lit("SUBMIT"),
+        F.col("event_id").cast("string"),
+        F.concat(F.lit("DEV"), F.col("user_id").cast("string")),
+        F.lit("REPORT"),
+        F.concat(
+            F.lit("2204:"), F.round(F.col("value"), 3).cast("string"),
+            F.lit(",3020:1,4031:0"),
+        ),
+    )
+    parsed = e.select(
+        "event_id",
+        wire.alias("wire"),
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+    return parsed.select(
+        "event_id",
+        F.regexp_extract("wire", r"^SUBMIT\$(\d+)\$", 1).cast("long").alias("seq"),
+        F.regexp_extract("wire", r"\$DEV(\d+)\$", 1).cast("long").alias("did"),
+        F.regexp_extract("wire", r"2204:([0-9.\-]+)", 1).cast("double").alias("speed"),
+        F.regexp_extract("wire", r"3020:(\d+)", 1).cast("int").alias("acc"),
+        "props_k",
+    )
+
+
 def q_gps_parking_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isParkingDrift verdict per trajectory (rows-only: needs Gauss
     projection)."""
@@ -446,6 +479,7 @@ def catalogue() -> dict:
         "polygon_intersection": q_polygon_intersection,
         "wkt_4d_array": q_wkt_4d_array,
         "merge_polygons": q_merge_polygons,
+        "protocol_parse": q_protocol_parse,
         "gps_parking_drift": q_gps_parking_drift,
         "gps_grid_density": q_gps_grid_density,
         "farm_plots": q_farm_plots,
@@ -607,6 +641,22 @@ SELECT doc_id, pred_lang, (pred_lang = lang) AS agree FROM (
         "polygon_time_ranges_merged": ranges_mod.merge_adjacent_ranges_sql(
             ranges_mod.polygon_time_ranges_sql(_filtered_sql(), D.POLYGONS_SQL)
         ),
+        "protocol_parse": r"""
+SELECT event_id,
+       CAST(regexp_extract(wire, '^SUBMIT\$(\d+)\$', 1) AS BIGINT) AS seq,
+       CAST(regexp_extract(wire, '\$DEV(\d+)\$', 1) AS BIGINT) AS did,
+       CAST(regexp_extract(wire, '2204:([0-9.\-]+)', 1) AS DOUBLE) AS speed,
+       CAST(regexp_extract(wire, '3020:(\d+)', 1) AS INTEGER) AS acc,
+       props_k
+FROM (
+  SELECT event_id,
+         concat_ws('$', 'SUBMIT', CAST(event_id AS VARCHAR),
+                   concat('DEV', CAST(user_id AS VARCHAR)), 'REPORT',
+                   concat('2204:', CAST(round(value, 3) AS VARCHAR), ',3020:1,4031:0')) AS wire,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+  FROM events
+)
+""",
         "polygon_intersection": _with(
             {"pol": D.POLYGONS_SQL},
             f"""
