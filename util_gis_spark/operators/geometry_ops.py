@@ -174,6 +174,132 @@ def np_merge_wkts(wkts: list[str], grid_m: float = 0.25) -> tuple[str, float]:
     return multipolygon_wkt(out_polys), mu
 
 
+def _polys_to_plane(wkts: list[str]):
+    """Parse + project a set of WKTs into one unified Gauss zone.
+    Returns (plane_polys per wkt, zone) — plane_polys[i] is a list of
+    polygons (each a list of rings)."""
+    parsed = [_geom_polys(parse_wkt(w)) for w in wkts]
+    coords = [r for polys in parsed for p in polys for r in p]
+    if not coords:
+        return None, 0
+    allw = np.vstack(coords)
+    zone = gauss.unified_zone(float(allw[:, 0].min()), float(allw[:, 0].max()))
+    out = []
+    for polys in parsed:
+        pp = []
+        for rings in polys:
+            pr = []
+            for ring in rings:
+                xx, yy, _ = gauss.gauss_forward(ring[:, 0], ring[:, 1], zone=zone)
+                pr.append(np.column_stack([xx, yy]))
+            pp.append(pr)
+        out.append(pp)
+    return out, zone
+
+
+def _mask_to_wkt_mu(mask: np.ndarray, x0, y0, g, zone: int) -> tuple[str, float]:
+    if not mask.any():
+        return "MULTIPOLYGON EMPTY", 0.0
+    rings = M.trace_rings(M.Raster(mask, x0, y0, g), simplify_tol=g)
+    out_polys = []
+    for rings_g in M.rings_to_polygons(rings):
+        wgs = []
+        for ring in rings_g:
+            lon, lat, _ = gauss.gauss_inverse(ring[:, 0], ring[:, 1], zone=zone)
+            wgs.append(np.column_stack([lon, lat]))
+        out_polys.append(wgs)
+    mu = calc_mu(sum(np_polygon_area_m2(p) for p in out_polys))
+    return multipolygon_wkt(out_polys), mu
+
+
+def np_mutual_difference(wkts: list[str], grid_m: float = 0.25) -> list[tuple[str, float]]:
+    """differenceGeometry (G:9258-9345): pairwise A = A - B, B = B - A
+    — every output geometry loses all regions it shares with any other.
+    Raster form: each mask minus the union of all OTHER masks."""
+    plane, zone = _polys_to_plane(wkts)
+    if plane is None:
+        return [("MULTIPOLYGON EMPTY", 0.0)] * len(wkts)
+    allc = np.vstack([r for pp in plane for p in pp for r in p])
+    x0, y0, nx, ny, g = _adaptive_grid(allc, grid_m)
+    masks = []
+    for pp in plane:
+        m = np.zeros((ny, nx), dtype=bool)
+        for rings in pp:
+            m |= M.rasterize_rings(rings, x0, y0, nx, ny, g)
+        masks.append(m)
+    out = []
+    for i, m in enumerate(masks):
+        others = np.zeros((ny, nx), dtype=bool)
+        for j, mo in enumerate(masks):
+            if j != i:
+                others |= mo
+        out.append(_mask_to_wkt_mu(m & ~others, x0, y0, g, zone))
+    return out
+
+
+MIN_FRAGMENT_MU = 0.1  # G:1649/1843: fragments below this are dropped
+
+
+def np_resolve_conflicts(
+    wkts: list[str], grid_m: float = 0.25, order: str = "area_desc"
+) -> list[tuple[int, str, float]]:
+    """Larger-wins conflict resolution (G:1639-1890) / accumulated-
+    union clip (G:4751-4944): process geometries in `order`
+    ('area_desc' = conflict resolution, 'insertion' = accumulated
+    union); each is clipped by the union of everything already kept;
+    fragments below 0.1 mu are dropped. Returns
+    [(original_index, wkt, mu)] for survivors."""
+    plane, zone = _polys_to_plane(wkts)
+    if plane is None:
+        return []
+    allc = np.vstack([r for pp in plane for p in pp for r in p])
+    x0, y0, nx, ny, g = _adaptive_grid(allc, grid_m)
+    masks = []
+    for pp in plane:
+        m = np.zeros((ny, nx), dtype=bool)
+        for rings in pp:
+            m |= M.rasterize_rings(rings, x0, y0, nx, ny, g)
+        masks.append(m)
+    idx = list(range(len(masks)))
+    if order == "area_desc":
+        idx.sort(key=lambda i: -int(masks[i].sum()))
+    acc = np.zeros((ny, nx), dtype=bool)
+    out = []
+    for i in idx:
+        clipped = masks[i] & ~acc
+        wkt, mu = _mask_to_wkt_mu(clipped, x0, y0, g, zone)
+        if mu > MIN_FRAGMENT_MU:
+            out.append((i, wkt, mu))
+            acc |= clipped
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def resolve_conflicts_agg(
+    df: DataFrame, group_cols: list[str], wkt_col: str = "wkt", order: str = "area_desc"
+) -> DataFrame:
+    """Grouped conflict resolution: per group, overlapping geometries
+    are clipped larger-wins; emits surviving (idx, wkt, mu) rows."""
+    out_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in group_cols]
+        + [
+            T.StructField("member_idx", T.IntegerType()),
+            T.StructField("wkt", T.StringType()),
+            T.StructField("mu", T.DoubleType()),
+        ]
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = np_resolve_conflicts(list(pdf[wkt_col]), order=order)
+        base = {c: [k] * len(rows) for c, k in zip(group_cols, key)}
+        base["member_idx"] = [np.int32(r[0]) for r in rows]
+        base["wkt"] = [r[1] for r in rows]
+        base["mu"] = [r[2] for r in rows]
+        return pd.DataFrame(base)
+
+    return df.groupBy(*group_cols).applyInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------- Spark layer
 def intersect_with_clip(df: DataFrame, clip_wkt: str, wkt_col: str = "wkt") -> DataFrame:
     """Per-row intersection with a fixed clip geometry: adds

@@ -94,6 +94,58 @@ def np_fast_distance_sampling(
     return keep
 
 
+def np_density_based_sampling(
+    xy: np.ndarray,
+    epsilon: float,
+    min_pts: int,
+    max_neighbors: int,
+) -> np.ndarray:
+    """densityBasedSampling (G:7568-7700), exact semantics:
+    pass 1 tiers by eps-ball neighbor count (self included): keep all
+    if < 2*minPts; every 3rd (i % 3 == 0) if <= maxNeighbors; every
+    10th otherwise. Pass 2 force-keeps dropped points whose eps-ball
+    has fewer than minPts KEPT neighbors (DBSCAN-core guarantee).
+    Neighbor search is grid-binned (the STRtree analogue)."""
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    x, y = xy[:, 0], xy[:, 1]
+    inv = 1.0 / max(epsilon, 1e-9)
+    cx = np.floor(x * inv).astype(np.int64)
+    cy = np.floor(y * inv).astype(np.int64)
+    bins: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        bins.setdefault((int(cx[i]), int(cy[i])), []).append(i)
+    eps2 = epsilon * epsilon
+
+    def neighbors(i: int) -> np.ndarray:
+        cand: list[int] = []
+        bx, by = int(cx[i]), int(cy[i])
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(bins.get((bx + dx, by + dy), ()))
+        arr = np.asarray(cand, dtype=np.int64)
+        d2 = (x[arr] - x[i]) ** 2 + (y[arr] - y[i]) ** 2
+        return arr[d2 <= eps2]
+
+    for i in range(n):
+        cnt = len(neighbors(i))
+        if cnt < min_pts * 2:
+            keep[i] = True
+        elif cnt <= max_neighbors:
+            keep[i] = i % 3 == 0
+        else:
+            keep[i] = i % 10 == 0
+    for i in range(n):
+        if keep[i]:
+            continue
+        nb = neighbors(i)
+        if int(keep[nb].sum()) < min_pts:
+            keep[i] = True
+    return keep
+
+
 def simplify_by_angle(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
     """DataFrame form: keep the simplified subset of each trajectory
     (input must carry x/y from project_trajectories and be groupable)."""

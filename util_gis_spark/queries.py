@@ -150,6 +150,34 @@ def q_merge_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", F.round("mu", 1).alias("mu_approx"))
 
 
+def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Larger-wins overlap resolution over an overlapping derived
+    layer (rows-only: raster clip areas are grid-approximate)."""
+    from .operators.geometry_ops import resolve_conflicts_agg
+
+    # build deliberately-overlapping rectangles: shift each polygon
+    # right by half its width within its row group
+    p = D.polygons(spark, sf_dir)
+    shifted = p.select(
+        F.col("polygon_id"),
+        (F.col("polygon_id") % 5).alias("grp"),
+        F.col("xmin") + (F.col("polygon_id") % 2) * 0.04,
+        F.col("ymin"),
+        F.col("xmax") + (F.col("polygon_id") % 2) * 0.04,
+        F.col("ymax"),
+    ).toDF("polygon_id", "grp", "xmin", "ymin", "xmax", "ymax")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit("))"),
+    )
+    out = resolve_conflicts_agg(shifted.withColumn("wkt", wkt), ["grp"])
+    return out.select("grp", "member_idx", F.round("mu", 1).alias("mu_approx"))
+
+
 def q_polygon_time_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enter/exit intervals of trajectories vs the polygon layer
     (splitPolygonTimeRanges G:8550-8668)."""
@@ -477,6 +505,7 @@ def catalogue() -> dict:
         "polygon_time_ranges": q_polygon_time_ranges,
         "polygon_time_ranges_merged": q_polygon_time_ranges_merged,
         "polygon_intersection": q_polygon_intersection,
+        "conflict_resolution": q_conflict_resolution,
         "wkt_4d_array": q_wkt_4d_array,
         "merge_polygons": q_merge_polygons,
         "protocol_parse": q_protocol_parse,
