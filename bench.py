@@ -119,6 +119,22 @@ def main() -> None:
 
     run("ann_topk", ann)
 
+    # --- MinHash-LSH near-dup pairs over documents
+    def minhash():
+        from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+        return minhash_near_dup_pairs(D.load(spark, sf_dir, "documents")).count()
+
+    run("minhash_dedup", minhash)
+
+    # --- plot construction composite (splitRoad) over field trajectories
+    def plots():
+        from util_gis_spark.operators.plots import split_road
+
+        return split_road(D.field_trajectories(spark, sf_dir), working_width=3.0).count()
+
+    run("split_road", plots)
+
     _emit(sf, cpus, factor, n_images, timings, counts)
 
 

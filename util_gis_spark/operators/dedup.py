@@ -106,23 +106,27 @@ def minhash_near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> D
         .filter(F.size("_shingles") > 0)
         .withColumn("_sig", F.expr(minhash_sig_expr()))
     )
+    # band join carries ONLY (doc_id, band, hash) — the wide shingle
+    # arrays are re-attached by key afterwards, so the x4-band shuffle
+    # stays narrow (at 10^12 docs the shingles would be TBs x4)
     bands = None
     for b in range(N_BANDS):
         part = base.select(
-            "doc_id", "_shingles", F.lit(b).alias("band"), F.expr(band_hash_expr(b)).alias("bh")
+            "doc_id", F.lit(b).alias("band"), F.expr(band_hash_expr(b)).alias("bh")
         )
         bands = part if bands is None else bands.unionByName(part)
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("_shingles").alias("sa"), "band", "bh"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("_shingles").alias("sb"), "band", "bh"
-    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
         left.join(right, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = base.select("doc_id", "_shingles")
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_shingles").alias("sb")), "doc_b")
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
