@@ -162,6 +162,23 @@ class TestFarmPlot:
             assert p["n_points"] > 60
         assert plots[0]["start_ts"] < plots[1]["start_ts"]
 
+    def test_algorithm0_merges_time_overlapping_plots(self):
+        # machine works field A (first half), detours to field B, then
+        # finishes A: A's time range encloses B's -> algorithm 0 unions
+        a = serpentine()
+        half = len(a) // 2
+        b = serpentine(x0=400.0)
+        xy = self._project(np.vstack([a[:half], b, a[half:]]))
+        ts = np.arange(len(xy), dtype=float)
+        merged = build_split_road_plots(xy, ts, self.ZONE, working_width=3.0, algorithm=0)
+        unmerged = build_split_road_plots(xy, ts, self.ZONE, working_width=3.0, algorithm=-1)
+        assert len(unmerged) >= 2  # without merging: separate overlapping plots
+        assert len(merged) < len(unmerged)  # algorithm 0 unioned them
+        assert merged[0]["wkt"].startswith(("POLYGON", "MULTIPOLYGON"))
+        total_unmerged = sum(p["mu"] for p in unmerged)
+        total_merged = sum(p["mu"] for p in merged)
+        assert total_merged == pytest.approx(total_unmerged, rel=0.05)
+
     def test_all_road_returns_nothing(self):
         road = self._project(np.column_stack([np.arange(0, 3000, 3.0), np.zeros(1000)]))
         ts = np.arange(len(road), dtype=float)

@@ -107,6 +107,7 @@ def build_split_road_plots(
     grid_m: float = GRID_M,
     min_return_mu: float = MIN_RETURN_MU,
     min_return_points: int = MIN_RETURN_POINTS,
+    algorithm: int = 0,
 ) -> list[dict]:
     """splitRoad core over one projected, quality+speed-filtered
     trajectory: cadence windows -> per-window sampling + DBSCAN ->
@@ -171,10 +172,79 @@ def build_split_road_plots(
                 )
 
     plots.sort(key=lambda pl: pl["start_ts"])  # G:13884-13899
+    if algorithm == 0 and _has_time_overlap(plots):
+        plots = _algorithm0_merge(plots, zone, grid_m)  # G:13903-13952
     plots = _dedup_overlaps(plots, grid_m)
     for pl in plots:
         pl.pop("_rings_g", None)
     return plots
+
+
+def _has_time_overlap(plots: list[dict]) -> bool:
+    """hasTimeOverlap over plot time ranges (G:10128-10151)."""
+    for a, b in zip(plots, plots[1:]):
+        if a["end_ts"] > b["start_ts"]:
+            return True
+    return False
+
+
+def _union_rings(
+    a: list[np.ndarray], b: list[np.ndarray], g: float
+) -> tuple[list[np.ndarray], list[list[np.ndarray]]]:
+    """Raster union of two flat ring lists (even-odd fill handles any
+    mix of shells/holes). Returns (flat rings for further rasterizing,
+    parts as polygons for area/WKT)."""
+    allc = np.vstack([np.vstack(a), np.vstack(b)])
+    x0 = float(allc[:, 0].min()) - 2 * g
+    y0 = float(allc[:, 1].min()) - 2 * g
+    nx = max(int(np.ceil((allc[:, 0].max() - x0) / g)) + 2, 4)
+    ny = max(int(np.ceil((allc[:, 1].max() - y0) / g)) + 2, 4)
+    mask = M.rasterize_rings(a, x0, y0, nx, ny, g) | M.rasterize_rings(b, x0, y0, nx, ny, g)
+    rings = M.trace_rings(M.Raster(mask, x0, y0, g), simplify_tol=g)
+    parts = M.rings_to_polygons(rings)
+    flat: list[np.ndarray] = []
+    for p in parts:
+        flat.extend(p)
+    return flat, parts
+
+
+def _algorithm0_merge(plots: list[dict], zone: int, g: float) -> list[dict]:
+    """splitRoad algorithm 0 (G:13903-13952): greedy union of plots
+    whose time ranges overlap the running merged range; geometry union
+    = raster OR (the reference's union().buffer(0))."""
+    merged: list[dict] = []
+    cur: dict | None = None
+    for pl in plots:
+        if cur is None:
+            cur = dict(pl)
+            cur["_parts"] = [pl["_rings_g"]]
+            continue
+        if cur["end_ts"] > pl["start_ts"]:
+            cur["_rings_g"], cur["_parts"] = _union_rings(cur["_rings_g"], pl["_rings_g"], g)
+            cur["n_points"] += pl["n_points"]
+            cur["mileage_m"] = round(cur["mileage_m"] + pl["mileage_m"], 3)
+            cur["end_ts"] = max(cur["end_ts"], pl["end_ts"])
+        else:
+            merged.append(cur)
+            cur = dict(pl)
+            cur["_parts"] = [pl["_rings_g"]]
+    if cur is not None:
+        merged.append(cur)
+    from ..geo.geometry import multipolygon_wkt
+
+    for pl in merged:
+        wgs_parts = []
+        total = 0.0
+        for rings_g in pl["_parts"]:
+            wgs_rings, mu = _polygon_to_wgs84(rings_g, zone)
+            wgs_parts.append(wgs_rings)
+            total += mu
+        pl["wkt"] = (
+            _rings_wkt(wgs_parts[0]) if len(wgs_parts) == 1 else multipolygon_wkt(wgs_parts)
+        )
+        pl["mu"] = round(total, 4)
+        pl.pop("_parts", None)
+    return merged
 
 
 def _dedup_overlaps(plots: list[dict], grid_m: float) -> list[dict]:

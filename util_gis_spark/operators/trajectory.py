@@ -78,6 +78,56 @@ def sessionize_by_time(df: DataFrame, max_gap_s: int = 300) -> DataFrame:
     )
 
 
+def sessionize_by_distance(df: DataFrame, max_dist_m: float = 500.0) -> DataFrame:
+    """splitClusterByDistance (G:2709-2769): cut where the step
+    distance exceeds max_dist_m. (The reference measures planar Gauss
+    distance; at sub-km steps haversine differs by <1e-6 relative, so
+    the great-circle form keeps the operator SQL-expressible.)"""
+    w = _DEV_W()
+    step = haversine_m(
+        F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")
+    )
+    return (
+        df.withColumn("_step", step)
+        .withColumn(
+            "cut", F.when(F.col("_step").isNull() | (F.col("_step") > max_dist_m), 1).otherwise(0)
+        )
+        .withColumn("seg_id", F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("_step", "cut")
+    )
+
+
+def session_by_distance_summary(df: DataFrame, max_dist_m: float = 500.0) -> DataFrame:
+    return (
+        sessionize_by_distance(df, max_dist_m)
+        .groupBy("device_id", "seg_id")
+        .agg(F.count("*").alias("n_points"), F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+
+
+def session_by_distance_sql(points_src: str, max_dist_m: float = 500.0) -> str:
+    hv = haversine_sql("prev_lon", "prev_lat", "lon", "lat")
+    return f"""
+SELECT device_id, seg_id, count(*) AS n_points, min(ts) AS start_ts, max(ts) AS end_ts
+FROM (
+  SELECT device_id, ts,
+         sum(cut) OVER (PARTITION BY device_id ORDER BY ts, point_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM (
+    SELECT device_id, ts, point_id,
+           CASE WHEN prev_lon IS NULL OR {hv} > {max_dist_m} THEN 1 ELSE 0 END AS cut
+    FROM (
+      SELECT device_id, ts, point_id, lon, lat,
+             lag(lon) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS prev_lon,
+             lag(lat) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS prev_lat
+      FROM ({points_src})
+    )
+  )
+)
+GROUP BY device_id, seg_id
+"""
+
+
 def session_summary(df: DataFrame, max_gap_s: int = 300) -> DataFrame:
     return (
         sessionize_by_time(df, max_gap_s)

@@ -64,6 +64,12 @@ def q_gps_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_sessions_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trajectory.session_by_distance_summary(
+        filters.filter_wgs84_points(D.gps_points(spark, sf_dir)), max_dist_m=5000.0
+    )
+
+
 def q_gps_modal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory.modal_interval(filters.filter_wgs84_points(D.gps_points(spark, sf_dir)))
 
@@ -495,6 +501,7 @@ def catalogue() -> dict:
         "gps_speed_filter": q_gps_speed_filter,
         "gps_mileage": q_gps_mileage,
         "gps_sessions": q_gps_sessions,
+        "gps_sessions_dist": q_gps_sessions_dist,
         "gps_modal_interval": q_gps_modal_interval,
         "gps_speed_average": q_gps_speed_average,
         "gps_speed_histogram": q_gps_speed_histogram,
@@ -558,6 +565,9 @@ SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
         ),
         "gps_mileage": _with(pts, trajectory.great_circle_mileage_sql("SELECT * FROM fpts")),
         "gps_sessions": _with(pts, trajectory.session_summary_sql("SELECT * FROM fpts", 300)),
+        "gps_sessions_dist": _with(
+            pts, trajectory.session_by_distance_sql("SELECT * FROM fpts", 5000.0)
+        ),
         "gps_modal_interval": _with(pts, trajectory.modal_interval_sql("SELECT * FROM fpts")),
         "gps_speed_average": trajectory.speed_average_sql(_filtered_sql()),
         "gps_speed_histogram": _with(
