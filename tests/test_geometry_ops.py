@@ -87,6 +87,26 @@ class TestSetOps:
         assert by_idx[1] == pytest.approx(mu_b - mu_ab, rel=0.02)
 
 
+class TestExteriorClosing:
+    def test_holes_preserved_shell_sealed(self):
+        from util_gis_spark.geo import morphology as M
+
+        # donut with a notch in the shell: exterior closing seals the
+        # notch but must NOT fill the hole
+        mask = np.zeros((80, 80), bool)
+        mask[10:70, 10:70] = True
+        mask[30:50, 30:50] = False  # hole (20px = 5m at g=0.25)
+        mask[10:12, 38:42] = False  # 2px notch in the shell edge
+        r = M.Raster(mask, 0.0, 0.0, 0.25)
+        out = M.exterior_closing(r, 1.5)
+        assert out.mask[10, 39]  # notch sealed
+        assert not out.mask[40, 40]  # hole still open
+        # hole area unchanged (within a pixel ring)
+        hole_before = (~mask[30:50, 30:50]).sum()
+        hole_after = (~out.mask[30:50, 30:50]).sum()
+        assert abs(int(hole_before) - int(hole_after)) <= 80
+
+
 class TestDensitySampling:
     def test_tiers(self):
         rng = np.random.default_rng(5)

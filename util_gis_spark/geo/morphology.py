@@ -141,6 +141,25 @@ def buffer_polyline(
     return dilate(rasterize_polyline(xy, pad, g), dist_m)
 
 
+def exterior_closing(r: Raster, d_m: float) -> Raster:
+    """Exterior-only buffer (G:6712-6909): seal gaps in the SHELL by a
+    +d/-d closing while keeping interior holes verbatim — shells and
+    holes are separated by ring tracing, the closing runs on the
+    shell-filled mask only, then the original holes are punched back."""
+    rings = trace_rings(r)
+    shells = [ring for ring, s in rings if s]
+    holes = [ring for ring, s in rings if not s]
+    if not shells:
+        return r
+    ny, nx = r.mask.shape
+    shell_mask = rasterize_rings(shells, r.x0, r.y0, nx, ny, r.g)
+    closed = closing(Raster(shell_mask, r.x0, r.y0, r.g), d_m)
+    if holes:
+        hole_mask = rasterize_rings(holes, r.x0, r.y0, nx, ny, r.g)
+        closed = Raster(closed.mask & ~hole_mask, r.x0, r.y0, r.g)
+    return closed
+
+
 # ----------------------------------------------------------- vectorize
 _DIR_RIGHT, _DIR_UP, _DIR_LEFT, _DIR_DOWN = 0, 1, 2, 3
 

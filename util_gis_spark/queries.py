@@ -395,9 +395,11 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1.0 - F.size(stop) / F.greatest(n_tokens, F.lit(1))),
         4,
     )
+    bpe_ish = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        bpe_ish.alias("n_bpe_tokens"),
         punct_n.alias("punct_n"),
         F.size(stop).alias("stop_n"),
         quality.alias("quality"),
@@ -494,6 +496,17 @@ def q_images_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "nearest_id", F.round("dist_m", 3).alias("dist_m"))
 
 
+def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (elementwise mean via posexplode
+    — the distributed embedding-aggregation primitive)."""
+    e = D.load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    return e.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 5).alias("centroid_val"), F.count("*").alias("n")
+    )
+
+
 # =============================================================== catalogues
 def catalogue() -> dict:
     return {
@@ -536,6 +549,7 @@ def catalogue() -> dict:
         "docs_simhash": q_docs_simhash,
         "embed_topk": q_embed_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_label_centroids": q_embed_label_centroids,
         "images_knn_points": q_images_knn_points,
     }
 
@@ -634,6 +648,7 @@ GROUP BY p.polygon_id
         "docs_token_stats": r"""
 SELECT doc_id,
        len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_n,
        len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_n,
        round(
@@ -713,6 +728,16 @@ FROM (
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
         "docs_simhash": dedup.simhash_docs_sql(),
         "embed_ann_lsh": ann_mod.ann_lsh_topk_sql(),
+        "embed_label_centroids": """
+SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+       round(avg(val), 5) AS centroid_val, count(*) AS n
+FROM (
+  SELECT label, pos, v[pos] AS val
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) g
+)
+GROUP BY label, pos
+""",
         "images_knn_points": _with(
             {**img, "fpts": _filtered_sql()},
             f"""
