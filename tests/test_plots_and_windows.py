@@ -179,6 +179,24 @@ class TestFarmPlot:
         total_merged = sum(p["mu"] for p in merged)
         assert total_merged == pytest.approx(total_unmerged, rel=0.05)
 
+    def test_algorithm1_resegments_interleaved_visits(self):
+        a = serpentine()
+        half = len(a) // 2
+        b = serpentine(x0=400.0)
+        xy = self._project(np.vstack([a[:half], b, a[half:]]))
+        ts = np.arange(len(xy), dtype=float)
+        plots = build_split_road_plots(xy, ts, self.ZONE, working_width=3.0, algorithm=1)
+        # re-segmentation: A-first-half, B, A-second-half -> up to 3
+        # plots, no time overlaps remain, all above the mu gate
+        assert 2 <= len(plots) <= 3
+        for p1, p2 in zip(plots, plots[1:]):
+            assert p1["end_ts"] <= p2["start_ts"] + 1e-9
+        assert all(p["mu"] > 0.55 for p in plots)
+        merged = build_split_road_plots(xy, ts, self.ZONE, working_width=3.0, algorithm=0)
+        total1 = sum(p["mu"] for p in plots)
+        total0 = sum(p["mu"] for p in merged)
+        assert total1 == pytest.approx(total0, rel=0.25)
+
     def test_all_road_returns_nothing(self):
         road = self._project(np.column_stack([np.arange(0, 3000, 3.0), np.zeros(1000)]))
         ts = np.arange(len(road), dtype=float)

@@ -168,16 +168,123 @@ def build_split_road_plots(
                         "n_points": n_in,
                         "mileage_m": round(_planar_mileage(cxy[:, 0], cxy[:, 1]), 3),
                         "_rings_g": rings_g,
+                        "_pts_xy": cxy[inside],
+                        "_pts_ts": pts_in,
                     }
                 )
 
     plots.sort(key=lambda pl: pl["start_ts"])  # G:13884-13899
-    if algorithm == 0 and _has_time_overlap(plots):
-        plots = _algorithm0_merge(plots, zone, grid_m)  # G:13903-13952
+    if _has_time_overlap(plots):
+        if algorithm == 0:
+            plots = _algorithm0_merge(plots, zone, grid_m)  # G:13903-13952
+        elif algorithm == 1:
+            plots = _algorithm1_resegment(  # G:13953-14089
+                plots, zone, working_width, grid_m, min_return_mu
+            )
     plots = _dedup_overlaps(plots, grid_m)
     for pl in plots:
         pl.pop("_rings_g", None)
+        pl.pop("_pts_xy", None)
+        pl.pop("_pts_ts", None)
     return plots
+
+
+def _algorithm1_resegment(
+    plots: list[dict], zone: int, working_width: float, g: float, min_return_mu: float
+) -> list[dict]:
+    """splitRoad algorithm 1 (G:13953-14089): tag every contained point
+    with its plot index, time-sort the union, re-segment on tag change,
+    and regenerate geometry per segment (simplify -> buffer -> closing
+    -> OPENING). Fallbacks per the reference: empty after opening ->
+    drop ('all road'); exactly one surviving big part -> keep it with
+    its contained points; multiple big parts -> fall back to the
+    UNOPENED (closing-only) geometry with the whole segment."""
+    tagged = []
+    for i, pl in enumerate(plots):
+        for xy, t in zip(pl["_pts_xy"], pl["_pts_ts"]):
+            tagged.append((float(t), float(xy[0]), float(xy[1]), i))
+    tagged.sort()
+    segments: list[list[tuple]] = []
+    for row in tagged:
+        if segments and segments[-1][-1][3] == row[3]:
+            segments[-1].append(row)
+        else:
+            segments.append([row])
+
+    p_close = _clamp_closing(working_width)
+    n_open = float(working_width)
+    out: list[dict] = []
+    for seg in segments:
+        if len(seg) <= 3:
+            continue
+        sxy = np.array([[r[1], r[2]] for r in seg])
+        sts = np.array([r[0] for r in seg])
+        keep = np_simplify_by_angle(sxy)
+        line = sxy[keep]
+        if len(line) < 3:
+            continue
+        r = M.buffer_polyline(line, working_width / 2.0, g=g, extra_pad_m=2 * p_close)
+        closed = M.closing(r, p_close)
+        opened = M.opening(closed, n_open)
+        open_parts = M.rings_to_polygons(M.trace_rings(opened, simplify_tol=g))
+        if not open_parts:
+            continue  # all road
+        big = [
+            pr for pr in open_parts
+            if (M.abs_area(pr[0]) - sum(M.abs_area(h) for h in pr[1:])) * MU_PER_M2_PLANAR
+            > min_return_mu
+        ]
+        chosen: list[list[np.ndarray]] | None = None
+        pts_xy, pts_ts = sxy, sts
+        if len(open_parts) == 1:
+            if big:
+                chosen = open_parts
+        elif len(big) == 1:
+            chosen = big
+        elif len(big) == 0:
+            continue
+        else:
+            closed_parts = M.rings_to_polygons(M.trace_rings(closed, simplify_tol=g))
+            tot = sum(
+                M.abs_area(pr[0]) - sum(M.abs_area(h) for h in pr[1:]) for pr in closed_parts
+            )
+            if tot * MU_PER_M2_PLANAR > min_return_mu:
+                chosen = closed_parts
+        if chosen is None:
+            continue
+        flat = [ring for pr in chosen for ring in pr]
+        inside = points_in_polygon(pts_xy[:, 0], pts_xy[:, 1], chosen[0]) if len(chosen) == 1 else None
+        if len(chosen) == 1:
+            if inside is None or not inside.any():
+                continue
+            sel_xy, sel_ts = pts_xy[inside], pts_ts[inside]
+        else:
+            sel_xy, sel_ts = pts_xy, pts_ts
+        wgs_parts = []
+        total_mu = 0.0
+        for pr in chosen:
+            wgs_rings, mu = _polygon_to_wgs84(pr, zone)
+            wgs_parts.append(wgs_rings)
+            total_mu += mu
+        from ..geo.geometry import multipolygon_wkt
+
+        out.append(
+            {
+                "wkt": _rings_wkt(wgs_parts[0]) if len(wgs_parts) == 1 else multipolygon_wkt(wgs_parts),
+                "mu": round(total_mu, 4),
+                "start_ts": float(sel_ts.min()),
+                "end_ts": float(sel_ts.max()),
+                "n_points": int(len(sel_xy)),
+                "mileage_m": round(_planar_mileage(sxy[:, 0], sxy[:, 1]), 3),
+                "_rings_g": flat,
+                "_pts_xy": sel_xy,
+                "_pts_ts": sel_ts,
+            }
+        )
+    return out
+
+
+MU_PER_M2_PLANAR = 3.0 / 2000.0  # reference gates on planar getArea * this
 
 
 def _has_time_overlap(plots: list[dict]) -> bool:
@@ -224,6 +331,8 @@ def _algorithm0_merge(plots: list[dict], zone: int, g: float) -> list[dict]:
             cur["n_points"] += pl["n_points"]
             cur["mileage_m"] = round(cur["mileage_m"] + pl["mileage_m"], 3)
             cur["end_ts"] = max(cur["end_ts"], pl["end_ts"])
+            cur["_pts_xy"] = np.vstack([cur["_pts_xy"], pl["_pts_xy"]])
+            cur["_pts_ts"] = np.concatenate([cur["_pts_ts"], pl["_pts_ts"]])
         else:
             merged.append(cur)
             cur = dict(pl)
