@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     images = D.images(spark, sf_dir)
     polys = D.polygons_wkt(spark, sf_dir)
-    joined = joins.pip_join_broadcast(images, polys, carry_cols=["image_key", "w", "h"])
+    joined = joins.pip_join_hybrid(images, polys, res=16, carry_cols=["image_key", "w", "h"])
     tiled = joins.tile_assignment(joined, res=16)
     return (
         tiled.groupBy("polygon_id")

@@ -30,6 +30,35 @@ class TestParkingWindow:
         assert keep.all()
 
 
+class TestParkingByIndex:
+    def test_tight_cloud_dropped_track_kept(self):
+        from util_gis_spark.operators.parking import np_filter_parking_points_by_index
+
+        rng = np.random.default_rng(9)
+        drive = np.column_stack([np.arange(0, 600, 3.0), np.zeros(200)])
+        cloud = np.tile([[700.0, 0.0]], (100, 1)) + rng.normal(0, 1.0, (100, 2))
+        xy = np.vstack([drive, cloud])
+        ts = np.arange(len(xy), dtype=float) * 3.0  # cloud spans 300 s
+        keep = np_filter_parking_points_by_index(
+            xy[:, 0], xy[:, 1], ts, parking_range_m=10.0, min_points=20, min_duration_s=120
+        )
+        assert keep[:200].all()  # moving track untouched
+        assert not keep[200:].any()  # cloud dropped
+
+    def test_wide_cloud_survives_bbox_gate(self):
+        from util_gis_spark.operators.parking import np_filter_parking_points_by_index
+
+        rng = np.random.default_rng(10)
+        # dense but SPREAD cloud (bbox > 0.6*range) — e.g. slow work in
+        # a small area, must NOT be treated as parking
+        cloud = rng.uniform(-8, 8, (100, 2))
+        ts = np.arange(100, dtype=float) * 3
+        keep = np_filter_parking_points_by_index(
+            cloud[:, 0], cloud[:, 1], ts, parking_range_m=10.0, min_points=20, min_duration_s=60
+        )
+        assert keep.all()
+
+
 class TestSplitTimeOverlaps:
     def test_overlap_clipped(self):
         out = np_split_time_overlaps([(0, 100), (50, 150), (200, 300)])

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels:
+projection roundtrip, cell-index invariants, haversine metric
+properties, WKT roundtrip, mu rounding, PIP vs winding."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from util_gis_spark.geo import cells, gauss
+from util_gis_spark.geo.geometry import (
+    convex_clip,
+    parse_wkt,
+    points_in_polygon,
+    polygon_wkt,
+    shoelace_area,
+)
+from util_gis_spark.geo.sphere import calc_mu, np_haversine
+
+lon_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+lat_st = st.floats(min_value=-84.0, max_value=84.0, allow_nan=False)
+
+
+class TestProjectionProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(lon=lon_st, lat=lat_st)
+    def test_roundtrip(self, lon, lat):
+        x, y, z = gauss.gauss_forward(np.array([lon]), np.array([lat]))
+        lon2, lat2, _ = gauss.gauss_inverse(x, y)
+        assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8
+
+    @settings(max_examples=100, deadline=None)
+    @given(lon=lon_st, lat=st.floats(min_value=-80, max_value=80))
+    def test_local_distance_preserved(self, lon, lat):
+        # planar distance of a 100 m great-circle step stays within
+        # TM scale distortion (<0.1% inside a zone)
+        zone = int(gauss.zone_from_lon(lon))
+        dlat = 100.0 / 111194.93
+        x1, y1, _ = gauss.gauss_forward(np.array([lon]), np.array([lat]), zone=zone)
+        x2, y2, _ = gauss.gauss_forward(np.array([lon]), np.array([lat + dlat]), zone=zone)
+        d = float(np.hypot(x2 - x1, y2 - y1))
+        assert abs(d - 100.0) < 1.0
+
+    @settings(max_examples=100, deadline=None)
+    @given(lon=lon_st)
+    def test_zone_consistency(self, lon):
+        z = int(gauss.zone_from_lon(lon))
+        assert 1 <= z <= 60
+        cm = float(gauss.central_meridian(z))
+        assert abs(lon - cm) <= 3.0 + 1e-9 or z in (1, 60)
+
+
+class TestCellProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(lon=lon_st, lat=lat_st, res=st.integers(min_value=2, max_value=20))
+    def test_point_in_own_cell(self, lon, lat, res):
+        c = int(cells.np_cell(lon, lat, res))
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        # float rounding at cell boundaries can push a point one ulp
+        # into the neighbor (consistent across engines — the encoder
+        # IS the semantics); allow a 1e-9-degree tolerance
+        assert x0 - 1e-9 <= lon < x1 + 1e-9 and y0 - 1e-9 <= lat < y1 + 1e-9
+
+    @settings(max_examples=100, deadline=None)
+    @given(lon=lon_st, lat=lat_st, res=st.integers(min_value=3, max_value=18))
+    def test_parent_is_coarser_container(self, lon, lat, res):
+        c = int(cells.np_cell(lon, lat, res))
+        p = int(cells.parent(c))
+        assert int(cells.np_cell(lon, lat, res - 1)) == p
+
+    @settings(max_examples=100, deadline=None)
+    @given(lon=lon_st, lat=lat_st, res=st.integers(min_value=2, max_value=16))
+    def test_cover_contains_cell(self, lon, lat, res):
+        c = int(cells.np_cell(lon, lat, res))
+        cov = cells.cover_bbox(lon, lat, lon, lat, res)
+        assert c in cov
+
+
+class TestHaversineProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(a=lon_st, b=lat_st, c=lon_st, d=lat_st)
+    def test_symmetric_nonnegative(self, a, b, c, d):
+        d1 = float(np_haversine(a, b, c, d))
+        d2 = float(np_haversine(c, d, a, b))
+        assert d1 >= 0 and abs(d1 - d2) < 1e-6
+
+    @settings(max_examples=100, deadline=None)
+    @given(a=lon_st, b=lat_st)
+    def test_identity_zero(self, a, b):
+        assert float(np_haversine(a, b, a, b)) == 0.0
+
+
+class TestGeometryProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        x0=st.floats(min_value=-170, max_value=160),
+        y0=st.floats(min_value=-80, max_value=70),
+        w=st.floats(min_value=0.01, max_value=5.0),
+        h=st.floats(min_value=0.01, max_value=5.0),
+    )
+    def test_wkt_roundtrip_and_center_inside(self, x0, y0, w, h):
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+        )
+        typ, rings = parse_wkt(polygon_wkt([ring]))
+        assert typ == "POLYGON"
+        assert np.allclose(rings[0], ring)
+        assert points_in_polygon([x0 + w / 2], [y0 + h / 2], rings)[0]
+        assert not points_in_polygon([x0 - w], [y0 - h], rings)[0]
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        x0=st.floats(min_value=-50, max_value=50),
+        y0=st.floats(min_value=-50, max_value=50),
+        w=st.floats(min_value=1.0, max_value=20.0),
+        dx=st.floats(min_value=-25.0, max_value=25.0),
+    )
+    def test_convex_clip_area_bounds(self, x0, y0, w, dx):
+        a = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w], [x0, y0]])
+        b = a + np.array([dx, 0.0])
+        ring = convex_clip(a, b)
+        if len(ring):
+            area = shoelace_area(ring)
+            assert area <= shoelace_area(a) + 1e-6
+            expected = max(w - abs(dx), 0.0) * w
+            assert abs(area - expected) < 1e-6
+
+    @settings(max_examples=200, deadline=None)
+    @given(m2=st.floats(min_value=0, max_value=1e9, allow_nan=False))
+    def test_mu_monotone_and_scaled(self, m2):
+        mu = calc_mu(m2)
+        assert mu >= 0
+        assert abs(mu - m2 * 3.0 / 2000.0) <= 5e-5 + 1e-12 * m2

@@ -126,6 +126,53 @@ def filter_parking_by_time_window(df_projected: DataFrame, **kw) -> DataFrame:
     return df_projected.groupBy("device_id").applyInPandas(run, schema=schema)
 
 
+def np_filter_parking_points_by_index(
+    x: np.ndarray,
+    y: np.ndarray,
+    ts_s: np.ndarray,
+    parking_range_m: float = 10.0,
+    min_points: int = 20,
+    min_duration_s: float = 120.0,
+) -> np.ndarray:
+    """filterParkingPointsByIndex (G:7009-7142), exact semantics: for
+    every point, its neighbors within parking_range form a parking
+    cloud if >= min_points, their time span >= min_duration, AND the
+    cloud bbox is <= 0.6*parking_range on both axes; all points of any
+    detected cloud are dropped. Neighbor search is grid-binned (the
+    STRtree analogue). Returns keep-mask."""
+    n = len(x)
+    is_parking = np.zeros(n, dtype=bool)
+    if n == 0:
+        return ~is_parking
+    inv = 1.0 / max(parking_range_m, 1e-9)
+    cx = np.floor(x * inv).astype(np.int64)
+    cy = np.floor(y * inv).astype(np.int64)
+    bins: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        bins.setdefault((int(cx[i]), int(cy[i])), []).append(i)
+    r2 = parking_range_m * parking_range_m
+    lim = parking_range_m * 0.6
+    for i in range(n):
+        cand: list[int] = []
+        bx, by = int(cx[i]), int(cy[i])
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(bins.get((bx + dx, by + dy), ()))
+        arr = np.asarray(cand, dtype=np.int64)
+        d2 = (x[arr] - x[i]) ** 2 + (y[arr] - y[i]) ** 2
+        nb = arr[d2 <= r2]
+        if len(nb) < min_points:
+            continue
+        duration = float(ts_s[nb].max() - ts_s[nb].min())
+        if (
+            duration >= min_duration_s
+            and (x[nb].max() - x[nb].min()) <= lim
+            and (y[nb].max() - y[nb].min()) <= lim
+        ):
+            is_parking[nb] = True
+    return ~is_parking
+
+
 def np_split_time_overlaps(ranges: list[tuple[float, float]]) -> list[tuple[float, float]]:
     """splitTimeOverlaps: sort by start; clip each range's end to
     next_start - 1 s when it overlaps the next (iterated to fixpoint
