@@ -77,6 +77,13 @@ def main() -> int:
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
             n_bad += 1
             continue
+        dtypes_s = {c: str(sdf[c].dtype) for c in sdf.columns}
+        dtypes_o = {c: str(odf[c].dtype) for c in odf.columns}
+        dt_mismatch = {
+            c: (dtypes_s[c], dtypes_o[c]) for c in dtypes_s if dtypes_s[c] != dtypes_o.get(c)
+        }
+        if dt_mismatch:
+            print(f"WARN {name}: dtype mismatch {dt_mismatch}")
         cs, co = canon(sdf), canon(odf)
         if cs != co:
             diff = [(a, b) for a, b in zip(cs, co) if a != b][:3]

@@ -111,8 +111,8 @@ def session_by_distance_sql(points_src: str, max_dist_m: float = 500.0) -> str:
 SELECT device_id, seg_id, count(*) AS n_points, min(ts) AS start_ts, max(ts) AS end_ts
 FROM (
   SELECT device_id, ts,
-         sum(cut) OVER (PARTITION BY device_id ORDER BY ts, point_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+         CAST(sum(cut) OVER (PARTITION BY device_id ORDER BY ts, point_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
   FROM (
     SELECT device_id, ts, point_id,
            CASE WHEN prev_lon IS NULL OR {hv} > {max_dist_m} THEN 1 ELSE 0 END AS cut
@@ -145,8 +145,8 @@ def session_summary_sql(points_src: str, max_gap_s: int = 300) -> str:
 SELECT device_id, seg_id, count(*) AS n_points, min(ts) AS start_ts, max(ts) AS end_ts
 FROM (
   SELECT device_id, ts,
-         sum(cut) OVER (PARTITION BY device_id ORDER BY ts, point_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+         CAST(sum(cut) OVER (PARTITION BY device_id ORDER BY ts, point_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
   FROM (
     SELECT device_id, ts, point_id,
            CASE WHEN lag(ts) OVER (PARTITION BY device_id ORDER BY ts, point_id) IS NULL

@@ -398,10 +398,10 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_ish = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        bpe_ish.alias("n_bpe_tokens"),
-        punct_n.alias("punct_n"),
-        F.size(stop).alias("stop_n"),
+        n_tokens.cast("long").alias("n_tokens"),
+        bpe_ish.cast("long").alias("n_bpe_tokens"),
+        punct_n.cast("long").alias("punct_n"),
+        F.size(stop).cast("long").alias("stop_n"),
         quality.alias("quality"),
     )
 
@@ -591,8 +591,8 @@ SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
             pts,
             f"""
 SELECT device_id,
-       sum(CASE WHEN {in_circle_sql('lon', 'lat', *_CIRCLE)} THEN 1 ELSE 0 END) AS n_in_circle,
-       sum(CASE WHEN {in_rectangle_sql('lon', 'lat', *_RECT)} THEN 1 ELSE 0 END) AS n_in_rect,
+       CAST(sum(CASE WHEN {in_circle_sql('lon', 'lat', *_CIRCLE)} THEN 1 ELSE 0 END) AS BIGINT) AS n_in_circle,
+       CAST(sum(CASE WHEN {in_rectangle_sql('lon', 'lat', *_RECT)} THEN 1 ELSE 0 END) AS BIGINT) AS n_in_rect,
        count(*) AS n_points
 FROM fpts GROUP BY device_id
 """,
