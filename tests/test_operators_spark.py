@@ -81,6 +81,25 @@ class TestSpatialJoins:
         }
         assert a == b and len(a) > 0
 
+    def test_pip_join_dispatcher_picks_strategy(self, spark, sf_dir):
+        imgs = D.images(spark, sf_dir)
+        polys = D.polygons_wkt(spark, sf_dir)
+        auto = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join(imgs, polys, res=16, carry_cols=["image_key"]).collect()
+        }
+        forced_shuffle = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join(
+                imgs, polys, res=16, carry_cols=["image_key"], broadcast_threshold_cells=1
+            ).collect()
+        }
+        ref = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_broadcast(imgs, polys, carry_cols=["image_key"]).collect()
+        }
+        assert auto == forced_shuffle == ref
+
     def test_hybrid_equals_broadcast_flavor(self, spark, sf_dir):
         imgs = D.images(spark, sf_dir)
         polys = D.polygons_wkt(spark, sf_dir)

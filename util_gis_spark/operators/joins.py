@@ -329,6 +329,37 @@ def knn_join_broadcast(
     return probes_df.select(probe_id_col, lon_col, lat_col).mapInPandas(nearest, schema=schema)
 
 
+def pip_join(
+    points_df: DataFrame,
+    polygons_wkt_df: DataFrame,
+    res: int = 17,
+    carry_cols: list[str] | None = None,
+    broadcast_threshold_cells: int = 2_000_000,
+    **kw,
+) -> DataFrame:
+    """Strategy-selecting PIP join (the thin planner from SURVEY §4):
+    estimates the polygon side's cell-map size (envelope area / cell
+    area, cheap driver-side arithmetic on the collected small side) and
+    picks the broadcast cell map when it fits comfortably in a task
+    broadcast (~16 bytes/cell), else the shuffled cell map. Mirrors the
+    reference's threshold-based dispatch (G:12284-12295) at distributed
+    scale."""
+    polys = _collect_polygons(polygons_wkt_df)
+    n = float(1 << res)
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    est_cells = 0.0
+    for _pid, _parsed, (x0, y0, x1, y1) in polys:
+        est_cells += max((x1 - x0) / cell_w, 1.0) * max((y1 - y0) / cell_h, 1.0)
+    return pip_join_hybrid(
+        points_df,
+        polygons_wkt_df,
+        res=res,
+        carry_cols=carry_cols,
+        broadcast_cellmap=est_cells <= broadcast_threshold_cells,
+        **kw,
+    )
+
+
 def knn_join_cells(
     probes_df: DataFrame,
     candidates_df: DataFrame,
