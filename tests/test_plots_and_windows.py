@@ -113,6 +113,45 @@ class TestSampling:
         assert np_fast_distance_sampling(xy).all()
 
 
+class TestKalmanSmooth:
+    def test_denoise_straight_track(self):
+        from util_gis_spark.operators.windows import np_kalman_smooth
+
+        rng = np.random.default_rng(4)
+        n = 400
+        true_x = np.arange(n) * 3.0
+        true_y = np.zeros(n)
+        x = true_x + rng.normal(0, 3.0, n)
+        y = true_y + rng.normal(0, 3.0, n)
+        ts = np.arange(n, dtype=float)
+        sx, sy = np_kalman_smooth(x, y, ts)
+        # smoothed track is closer to the truth than the raw one
+        raw_err = np.mean(np.hypot(x[50:] - true_x[50:], y[50:] - true_y[50:]))
+        sm_err = np.mean(np.hypot(sx[50:] - true_x[50:], sy[50:] - true_y[50:]))
+        assert sm_err < raw_err * 0.8
+
+    def test_tracks_turns(self):
+        from util_gis_spark.operators.windows import np_kalman_smooth
+
+        # sharp 90-degree turn: the filter must follow within a few
+        # samples (no runaway lag)
+        leg1 = np.column_stack([np.arange(0, 150, 3.0), np.zeros(50)])
+        leg2 = np.column_stack([np.full(50, 147.0), np.arange(3, 153, 3.0)])
+        xy = np.vstack([leg1, leg2])
+        ts = np.arange(len(xy), dtype=float)
+        sx, sy = np_kalman_smooth(xy[:, 0], xy[:, 1], ts)
+        tail_err = np.hypot(sx[-10:] - xy[-10:, 0], sy[-10:] - xy[-10:, 1])
+        assert tail_err.max() < 5.0
+
+    def test_identity_on_clean_input(self):
+        from util_gis_spark.operators.windows import np_kalman_smooth
+
+        x = np.arange(100) * 3.0
+        y = np.zeros(100)
+        sx, sy = np_kalman_smooth(x, y, np.arange(100, dtype=float))
+        assert np.abs(sx[20:] - x[20:]).max() < 1.0
+
+
 class TestMedianSmooth:
     def test_parking_run_removed(self):
         # drive 100 m, park 300 s, drive on

@@ -212,7 +212,7 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 
 # ------------------------------------------------------------------ simhash
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 def simhash_expr() -> str:
@@ -245,6 +245,55 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
         .filter(F.size("_hashes") > 0)
         .select("doc_id", F.expr(simhash_expr()).cast("long").alias("simhash"))
     )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs: two 16-bit half-bands as the LSH (any
+    pair within hamming<=1 of the 32-bit hash is guaranteed to share a
+    half — pigeonhole; hamming 2 is caught unless the flips straddle
+    both halves), then exact popcount verify. All JVM."""
+    s = simhash_docs(docs)
+    bands = None
+    for b in range(2):
+        part = s.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            ((F.col("simhash") / (1 << (16 * b))).cast("long") % 65536).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dup_pairs_sql(max_hamming: int = 2) -> str:
+    inner = simhash_docs_sql().strip()
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"cast(floor(simhash / {1 << (16 * b)}) as bigint) % 65536 AS bh FROM s"
+        for b in range(2)
+    )
+    return f"""
+WITH s AS ({inner}), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS ha, r.simhash AS hb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, cast(bit_count(xor(ha, hb)) as int) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
 
 
 def simhash_docs_sql() -> str:

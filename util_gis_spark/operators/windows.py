@@ -184,6 +184,75 @@ def median_smooth_filter(df_projected: DataFrame, group_cols=("device_id",), **k
     return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
 
 
+# ------------------------------------------------------------- kalman
+def np_kalman_smooth(
+    x: np.ndarray,
+    y: np.ndarray,
+    ts_s: np.ndarray,
+    process_accel_ms2: float = 0.5,
+    measure_sigma_m: float = 3.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Constant-velocity Kalman filter over a planar trajectory — the
+    engine's EXTENSION next to the reference's rolling-median smoother
+    (the reference smooths with a median, G:7251; BASELINE.json's
+    north-star names Kalman, so both are offered; outputs are compared
+    in tests). State [pos, vel] per axis; process noise from an
+    assumed acceleration bound, measurement noise = GPS sigma."""
+    n = len(x)
+    if n == 0:
+        return x.copy(), y.copy()
+    out = np.empty((n, 2))
+    q = process_accel_ms2
+    r = measure_sigma_m**2
+    for axis, series in ((0, x), (1, y)):
+        pos, vel = float(series[0]), 0.0
+        # covariance
+        p00, p01, p11 = r, 0.0, 1.0
+        out[0, axis] = pos
+        for i in range(1, n):
+            dt = max(float(ts_s[i] - ts_s[i - 1]), 1e-3)
+            # predict
+            pos += vel * dt
+            p00 += dt * (2 * p01 + dt * p11) + 0.25 * q * dt**4
+            p01 += dt * p11 + 0.5 * q * dt**3
+            p11 += q * dt**2
+            # update
+            s = p00 + r
+            k0, k1 = p00 / s, p01 / s
+            innov = float(series[i]) - pos
+            pos += k0 * innov
+            vel += k1 * innov
+            p11 -= k1 * p01
+            p01 -= k1 * p00
+            p00 -= k0 * p00
+            out[i, axis] = pos
+    return out[:, 0], out[:, 1]
+
+
+def kalman_smooth_trajectories(df_projected: DataFrame, group_cols=("device_id",), **kw) -> DataFrame:
+    """Adds x_smooth/y_smooth columns per trajectory."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df_projected.schema.fields
+        + [T.StructField("x_smooth", T.DoubleType()), T.StructField("y_smooth", T.DoubleType())]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        xs, ys = np_kalman_smooth(
+            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
+        )
+        out = pdf.copy()
+        out["x_smooth"] = xs
+        out["y_smooth"] = ys
+        return out
+
+    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+
+
 # --------------------------------------------------------- time overlaps
 def has_time_overlap(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFrame:
     """hasTimeOverlap (G:10128-10151): sort ranges by start; overlap

@@ -434,6 +434,29 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp"))
 
 
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (half-band LSH + popcount verify)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(D.load(spark, sf_dir, "documents"), max_hamming=2)
+
+
+def q_gps_kalman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman-smoothed trajectories (north-star extension): per-device
+    mean displacement between raw and smoothed track (rows-only)."""
+    from .operators.projection import project_trajectories
+    from .operators.windows import kalman_smooth_trajectories
+
+    pts = project_trajectories(D.field_trajectories(spark, sf_dir))
+    sm = kalman_smooth_trajectories(pts)
+    d = F.sqrt(F.pow(F.col("x") - F.col("x_smooth"), 2) + F.pow(F.col("y") - F.col("y_smooth"), 2))
+    return sm.groupBy("device_id").agg(
+        F.round(F.avg(d), 3).alias("mean_displacement_m"),
+        F.round(F.max(d), 3).alias("max_displacement_m"),
+        F.count("*").alias("n_points"),
+    )
+
+
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact Jaccard verify."""
     from .operators.dedup import minhash_near_dup_pairs
@@ -580,6 +603,8 @@ def catalogue() -> dict:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "gps_kalman_drift": q_gps_kalman_drift,
         "embed_topk": q_embed_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_label_centroids": q_embed_label_centroids,
@@ -760,6 +785,7 @@ FROM (
         ),
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
         "docs_simhash": dedup.simhash_docs_sql(),
+        "docs_simhash_pairs": dedup.simhash_near_dup_pairs_sql(2),
         "embed_ann_lsh": ann_mod.ann_lsh_topk_sql(),
         "embed_label_centroids": """
 SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
