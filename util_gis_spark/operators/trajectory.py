@@ -128,6 +128,25 @@ GROUP BY device_id, seg_id
 """
 
 
+def sessionize_by_time_or_distance(
+    df: DataFrame, max_gap_s: int = 300, max_dist_m: float = 500.0
+) -> DataFrame:
+    """splitClusterByTimeOrDistance (G:3032-3105): cut where EITHER
+    the time gap OR the step distance exceeds its bound (OR at
+    G:3075)."""
+    w = _DEV_W()
+    step = haversine_m(
+        F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")
+    )
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    cut = F.when(
+        F.lag("ts").over(w).isNull() | (dt > max_gap_s) | (step > max_dist_m), 1
+    ).otherwise(0)
+    return df.withColumn("cut", cut).withColumn(
+        "seg_id", F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("cut")
+
+
 def session_summary(df: DataFrame, max_gap_s: int = 300) -> DataFrame:
     return (
         sessionize_by_time(df, max_gap_s)
