@@ -34,6 +34,38 @@ def test_streaming_sessions_match_batch(spark, sf_dir, stream_results):
     assert got == want
 
 
+def test_stateful_sessionizer_closed_sessions_match_batch(spark, sf_dir):
+    """applyInPandasWithState: every CLOSED session it emits must be a
+    session the batch operator also finds (the trailing open session
+    per device stays in state under availableNow)."""
+    from pyspark.sql import functions as F
+
+    from util_gis_spark.operators.trajectory import session_summary
+
+    pts = S.gps_point_stream(spark, sf_dir)
+    q = (
+        S.sessionize_stream_stateful(pts, gap_s=300)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["device_id"], r["start_ts"], r["end_ts"], r["n_points"])
+        for r in spark.table("t_stateful").collect()
+    }
+    batch = session_summary(D.gps_points(spark, sf_dir), max_gap_s=300)
+    want = {
+        (r["device_id"], r["start_ts"], r["end_ts"], r["n_points"])
+        for r in batch.collect()
+    }
+    assert got <= want  # closed sessions are a subset (opens pending)
+    n_devices = D.gps_points(spark, sf_dir).select("device_id").distinct().count()
+    assert len(got) >= len(want) - n_devices  # at most 1 open per device
+
+
 def test_streaming_tile_counts_match_batch(spark, sf_dir, stream_results):
     _, tiles = stream_results
     total_stream = sum(r["n"] for r in tiles.collect())

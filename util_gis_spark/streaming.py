@@ -83,6 +83,90 @@ def tile_count_stream(points_stream: DataFrame, res: int = 14, watermark: str = 
     )
 
 
+def sessionize_stream_stateful(
+    points_stream: DataFrame, gap_s: int = 300, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — the
+    arbitrary-state API the built-in session_window can't replace when
+    the reference's richer state machines (cadence voting, G:6249) go
+    streaming. State per device: (seg_start_s, last_s, n_points).
+    Emits one row per CLOSED session; the final open session flushes
+    when the state times out (or, with availableNow, stays open —
+    tests account for it)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("device_id", LongType()),
+            StructField("start_ts", TimestampType()),
+            StructField("end_ts", TimestampType()),
+            StructField("n_points", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seg_start_s", LongType()),
+            StructField("last_s", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        device_id = key[0]
+        if state.exists:
+            seg_start, last, n = state.get
+        else:
+            seg_start = last = None
+            n = 0
+        closed = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (pdf["ts"].astype("int64") // 1_000).to_numpy()  # microseconds
+            us.sort()
+            for u in us:
+                # gap rule on floored seconds == batch unix_timestamp diff
+                if seg_start is None:
+                    seg_start, last, n = int(u), int(u), 1
+                elif u // 1_000_000 - last // 1_000_000 > gap_s:
+                    closed.append((device_id, seg_start, last, n))
+                    seg_start, last, n = int(u), int(u), 1
+                else:
+                    last = int(u)
+                    n += 1
+        if state.hasTimedOut:
+            if seg_start is not None:
+                closed.append((device_id, seg_start, last, n))
+            state.remove()
+        else:
+            state.update((int(seg_start or 0), int(last or 0), int(n)))
+            state.setTimeoutDuration(gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "device_id": [c[0] for c in closed],
+                    "start_ts": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "end_ts": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "n_points": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        points_stream.withWatermark("ts", watermark)
+        .groupBy("device_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Complete-mode execution into an in-memory table (tests/demos):
     processes everything available, stops, returns the result."""
