@@ -183,6 +183,24 @@ class TestSpatialJoins:
         assert int(np_cell(116.2, 39.7, 16)) in tiles
 
 
+class TestSqlApi:
+    def test_sql_over_registered_views(self, spark, sf_dir):
+        from util_gis_spark.sql_api import register
+
+        names = register(spark, sf_dir)
+        assert {"gps_points", "images", "polygons", "pip_pairs", "tiles"} <= set(names)
+        n = spark.sql(
+            """
+            SELECT p.polygon_id, count(*) AS n_images
+            FROM pip_pairs p JOIN images i ON p.image_key = i.image_key
+            GROUP BY p.polygon_id ORDER BY n_images DESC LIMIT 1
+            """
+        ).collect()
+        assert n[0]["n_images"] > 0
+        t = spark.sql("SELECT count(DISTINCT tile) AS nt FROM tiles").collect()
+        assert t[0]["nt"] > 0
+
+
 class TestDerivedViews:
     def test_images_schema_matches_input_hint(self, spark, sf_dir):
         cols = set(D.images_with_bytes(spark, sf_dir).columns)
