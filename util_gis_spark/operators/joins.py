@@ -12,11 +12,13 @@ distributed re-expression:
   analogue); refine = vectorized ray casting (strict interior,
   matching JTS contains at G:5916).
 - **cell sort-merge PIP** (large-large): polygons explode to their
-  covering cells (cover_bbox of the envelope), points cell-encode with
+  covering cells classified inside/boundary, points cell-encode with
   the same resolution, equi-join on cell (Catalyst picks SMJ/shuffled
-  hash; AQE splits skewed cells), then the same vectorized refine on
-  the joined candidates. Salting for hot cells is available via
-  `salt_buckets`.
+  hash; AQE splits skewed cells). Interior-cell candidates are
+  accepted outright; boundary-cell candidates are refined by a
+  JVM-side ray cast (higher-order aggregate over the polygon's edge
+  array — no Python worker, no Arrow, ONE scan of the fact table).
+  Salting for hot cells is available via `salt_buckets`.
 - **kNN join**: candidates broadcast, per-batch numpy brute force with
   envelope pre-cut — the set form of findClosestPointList; the
   progressive tolerance ladder (G:3503-3563) becomes an upper bound
@@ -102,6 +104,88 @@ def pip_join_broadcast(
     return points_df.mapInPandas(refine, schema=schema)
 
 
+def _polys_from_parsed(parsed) -> list:
+    """Polygonal parts of a parsed geometry as a list of ring lists
+    (POLYGON -> [rings]; MULTIPOLYGON -> its parts; collections ->
+    their polygonal members)."""
+    typ, data = parsed
+    if typ == "POLYGON":
+        return [data]
+    if typ == "MULTIPOLYGON":
+        return list(data)
+    if typ == "GEOMETRYCOLLECTION":
+        out = []
+        for sub in data:
+            out.extend(_polys_from_parsed(sub))
+        return out
+    return []
+
+
+def _edges_from_parsed(parsed) -> list[tuple[float, float, float, float]]:
+    """Flatten every ring edge (exterior + holes, all parts) into one
+    (x1, y1, x2, y2) list. Even-odd parity over this combined set IS
+    strict polygon-with-holes containment for valid geometry, so one
+    flat array drives the JVM ray cast."""
+    edges: list[tuple[float, float, float, float]] = []
+    for rings in _polys_from_parsed(parsed):
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 2:
+                continue
+            closed = bool((r[0] == r[-1]).all())
+            seq = r if closed else np.vstack([r, r[:1]])
+            for i in range(len(seq) - 1):
+                edges.append(
+                    (float(seq[i, 0]), float(seq[i, 1]), float(seq[i + 1, 0]), float(seq[i + 1, 1]))
+                )
+    return edges
+
+
+EDGES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+            T.StructField("x2", T.DoubleType()),
+            T.StructField("y2", T.DoubleType()),
+        ]
+    )
+)
+
+
+def raycast_inside_expr(px, py, edges):
+    """Strict-interior point-in-polygon as a pure Column expression
+    over an `EDGES_TYPE` array: even-odd crossing parity AND not on any
+    edge — the JVM twin of geo.geometry.points_in_polygon (same
+    predicate, same half-open crossing rule), evaluated by Catalyst's
+    higher-order functions. No Python worker, no Arrow; this is what
+    lets the PIP joins refine boundary candidates in the SAME stage
+    that accepted interior candidates (single scan of the fact table).
+
+    Matches the numpy kernel exactly: a horizontal edge makes the
+    parity condition false before the (NULL) intercept comparison is
+    reached, and the on-edge test is exact-zero cross product within
+    the segment bbox (the polygon layers keep vertices off the point
+    lattice, see datasets._EDGE_OFF)."""
+    def _crossing(acc, e):
+        xint = e["x1"] + (py - e["y1"]) * (e["x2"] - e["x1"]) / (e["y2"] - e["y1"])
+        c = ((e["y1"] > py) != (e["y2"] > py)) & (px < xint)
+        return acc + F.when(c, 1).otherwise(0)
+
+    def _on_edge(e):
+        cross = (e["x2"] - e["x1"]) * (py - e["y1"]) - (e["y2"] - e["y1"]) * (px - e["x1"])
+        return (
+            (cross == 0.0)
+            & (px >= F.least(e["x1"], e["x2"]))
+            & (px <= F.greatest(e["x1"], e["x2"]))
+            & (py >= F.least(e["y1"], e["y2"]))
+            & (py <= F.greatest(e["y1"], e["y2"]))
+        )
+
+    crossings = F.aggregate(edges, F.lit(0), _crossing)
+    return (crossings % 2 == 1) & ~F.exists(edges, _on_edge)
+
+
 def classify_polygon_cells(parsed, res: int) -> tuple[np.ndarray, np.ndarray]:
     """Partition a polygon's covering cells into (fully_inside,
     boundary) at resolution `res`. A cell is fully inside iff no ring
@@ -116,8 +200,7 @@ def classify_polygon_cells(parsed, res: int) -> tuple[np.ndarray, np.ndarray]:
     if env is None:
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
     cover = cells.cover_bbox(*env, res)
-    typ, data = parsed
-    polys = data if typ == "MULTIPOLYGON" else [data] if typ == "POLYGON" else []
+    polys = _polys_from_parsed(parsed)
     edge_cells: set[int] = set()
     for rings in polys:
         for ring in rings:
@@ -147,24 +230,30 @@ def pip_join_hybrid(
     lat_col: str = "lat",
     carry_cols: list[str] | None = None,
     broadcast_cellmap: bool = True,
+    refine: str = "jvm",
 ) -> DataFrame:
-    """Filter-refine PIP join with a JVM fast path (the engine's
-    flagship physical strategy).
+    """Filter-refine PIP join with interior-cell fast accept (the
+    engine's flagship physical strategy) — ONE scan of the fact table.
 
     Phase 1 (all JVM, whole-stage codegen): points cell-encode; an
     equi-join against the broadcast cell map (cell -> polygon_id,
-    inside?) accepts points in fully-interior cells outright and
-    selects the boundary band.
-    Phase 2 (Arrow, boundary band only): vectorized ray-cast refine —
-    typically a few % of the rows, so the Python runner is off the
-    critical path (measured: pure-JVM join scales ~0.8 efficiency
-    2->8 cores; all-Python refine does not).
+    inside?) produces candidates tagged interior/boundary.
+    Phase 2 (same stage): interior candidates are accepted outright
+    (`when(_inside, true)` — the exact test is skipped entirely);
+    boundary candidates are refined by `raycast_inside_expr` over the
+    polygon's broadcast edge array — JVM higher-order functions, no
+    Python worker. The whole join is scan -> 2 broadcast hash joins ->
+    filter, with no DAG diamond (round-1 branched accepted/band and
+    scanned the fact table twice; this is the single-scan fix).
 
     This strictly dominates the reference's design (STRtree envelope
     coarse + exact contains on EVERY candidate, G:5736-5936): the
-    interior-cell accept eliminates the exact test for interior hits.
-    Set `broadcast_cellmap=False` to shuffle-join the cell map instead
-    (large polygon side / large-large case)."""
+    interior-cell accept eliminates the exact test for interior hits,
+    and the boundary refine is the same O(edges) JVM cost as JTS
+    contains. Set `broadcast_cellmap=False` to shuffle-join the cell
+    map instead (large polygon side); `refine="arrow"` keeps a
+    pass-through Arrow kernel variant (numpy ray cast; used by the
+    equivalence tests and as a fallback for exotic geometry)."""
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
@@ -172,44 +261,61 @@ def pip_join_hybrid(
     polys = _collect_polygons(polygons_wkt_df)
 
     rows = []
+    edge_rows = []
     refine_wkts: dict[int, object] = {}
     for pid, parsed, _env in polys:
         inside, boundary = classify_polygon_cells(parsed, res)
         rows.extend((int(c), int(pid), True) for c in inside)
         rows.extend((int(c), int(pid), False) for c in boundary)
         refine_wkts[int(pid)] = parsed
+        if len(boundary):
+            edge_rows.append((int(pid), _edges_from_parsed(parsed)))
     cellmap = spark.createDataFrame(rows, "cell long, polygon_id long, _inside boolean")
     if broadcast_cellmap:
         cellmap = F.broadcast(cellmap)
 
     pts = points_df.withColumn("cell", cells.cell_expr(F.col(lon_col), F.col(lat_col), res))
     cand = pts.join(cellmap, on="cell", how="inner")
-
     out_cols = [c for c in points_df.columns] + ["polygon_id"]
-    accepted = cand.filter(F.col("_inside")).select(*out_cols)
-    band = cand.filter(~F.col("_inside")).select(*out_cols)
 
+    if refine == "jvm":
+        edges_df = spark.createDataFrame(
+            edge_rows,
+            T.StructType(
+                [T.StructField("polygon_id", T.LongType()), T.StructField("_edges", EDGES_TYPE)]
+            ),
+        )
+        j = cand.join(F.broadcast(edges_df), on="polygon_id", how="left")
+        keep = F.when(F.col("_inside"), F.lit(True)).otherwise(
+            raycast_inside_expr(F.col(lon_col), F.col(lat_col), F.col("_edges"))
+        )
+        return j.filter(keep).select(*out_cols)
+
+    # Arrow fallback: single pass-through kernel (interior rows skip the
+    # numpy ray cast but still cross the Arrow boundary once)
     schema = T.StructType(points_df.schema.fields + [T.StructField("polygon_id", T.LongType())])
+    narrowed = cand.select(*out_cols, "_inside")
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def refine_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[lon_col].to_numpy(np.float64)
-            py = pdf[lat_col].to_numpy(np.float64)
-            pos_base = np.arange(len(pdf))
-            for pid, grp_idx in pdf.groupby("polygon_id", sort=False).indices.items():
-                parsed = refine_wkts.get(int(pid))
-                if parsed is None:
-                    continue
-                keep[grp_idx] = points_in_geom(px[grp_idx], py[grp_idx], parsed)
-            del pos_base
+            keep = pdf["_inside"].to_numpy(bool).copy()
+            band = np.flatnonzero(~keep)
+            if len(band):
+                px = pdf[lon_col].to_numpy(np.float64)
+                py = pdf[lat_col].to_numpy(np.float64)
+                sub = pdf.iloc[band]
+                for pid, grp_idx in sub.groupby("polygon_id", sort=False).indices.items():
+                    parsed = refine_wkts.get(int(pid))
+                    if parsed is None:
+                        continue
+                    rows_ix = band[grp_idx]
+                    keep[rows_ix] = points_in_geom(px[rows_ix], py[rows_ix], parsed)
             if keep.any():
                 yield pdf.loc[keep, out_cols]
 
-    refined = band.mapInPandas(refine, schema=schema)
-    return accepted.unionByName(refined)
+    return narrowed.mapInPandas(refine_fn, schema=schema)
 
 
 def polygon_cover_cells(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
@@ -226,6 +332,51 @@ def polygon_cover_cells(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
     return polygons_wkt_df.withColumn("cell", F.explode(cover(F.col("wkt"))))
 
 
+def polygon_cells_classified(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
+    """(polygon_id, cell, _inside, _edges): every covering cell of each
+    polygon, classified interior/boundary; boundary rows carry the
+    polygon's flat edge array (null on interior rows — the downstream
+    ray cast never runs there). The classification runs once per
+    POLYGON (the small-in-rows, maybe-large-in-total side), so the
+    per-point refine cost is paid only where a cell truly straddles a
+    boundary. Edge arrays are duplicated per boundary cell — the same
+    payload shape as shipping the WKT per candidate, but typed and
+    ready for the JVM ray cast."""
+    out_schema = T.StructType(
+        [
+            T.StructField("polygon_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("_inside", T.BooleanType()),
+            T.StructField("_edges", EDGES_TYPE),
+        ]
+    )
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids, cls, ins, eds = [], [], [], []
+            for pid, wkt in zip(pdf["polygon_id"], pdf["wkt"]):
+                parsed = parse_wkt(wkt)
+                inside, boundary = classify_polygon_cells(parsed, res)
+                edges = (
+                    [
+                        {"x1": e[0], "y1": e[1], "x2": e[2], "y2": e[3]}
+                        for e in _edges_from_parsed(parsed)
+                    ]
+                    if len(boundary)
+                    else None
+                )
+                for c in inside:
+                    pids.append(pid); cls.append(int(c)); ins.append(True); eds.append(None)
+                for c in boundary:
+                    pids.append(pid); cls.append(int(c)); ins.append(False); eds.append(edges)
+            if pids:  # empty frames infer float64 cols, breaking the Arrow struct cast
+                yield pd.DataFrame(
+                    {"polygon_id": pids, "cell": cls, "_inside": ins, "_edges": eds}
+                )
+
+    return polygons_wkt_df.select("polygon_id", "wkt").mapInPandas(classify, schema=out_schema)
+
+
 def pip_join_cells(
     points_df: DataFrame,
     polygons_wkt_df: DataFrame,
@@ -240,43 +391,29 @@ def pip_join_cells(
     Shuffles both sides once on the cell key; AQE handles residual
     skew; `salt_buckets > 0` additionally salts the point side and
     explodes the polygon side x k for pathological hot cells.
+    After the join everything is JVM: interior-cell candidates are
+    accepted with no exact test (`_inside` fast path — the same
+    classification the hybrid flavor uses), boundary candidates go
+    through the higher-order-function ray cast. No Python touches the
+    fact rows at any point, and the fact table is scanned ONCE.
     `carry_cols`: explicit column pruning (see pip_join_broadcast)."""
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
     pts = points_df.withColumn("cell", cells.cell_expr(F.col(lon_col), F.col(lat_col), res))
-    pol = polygon_cover_cells(polygons_wkt_df, res)
+    pol = polygon_cells_classified(polygons_wkt_df, res)
     if salt_buckets > 0:
         pts = pts.withColumn("salt", F.pmod(F.xxhash64(lon_col, lat_col), F.lit(salt_buckets)))
         pol = pol.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
         keys = ["cell", "salt"]
     else:
         keys = ["cell"]
-    cand = pts.join(pol.select(*keys, "polygon_id", "wkt"), on=keys, how="inner")
-
-    out_fields = [f for f in points_df.schema.fields] + [T.StructField("polygon_id", T.LongType())]
-    schema = T.StructType(out_fields)
-    pt_cols = [f.name for f in points_df.schema.fields]
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[lon_col].to_numpy(np.float64)
-            py = pdf[lat_col].to_numpy(np.float64)
-            for wkt, grp in pdf.groupby("wkt", sort=False):
-                parsed = cache.get(wkt)
-                if parsed is None:
-                    parsed = cache[wkt] = parse_wkt(wkt)
-                idx = grp.index.to_numpy()
-                pos = pdf.index.get_indexer(idx)
-                keep[pos] = points_in_geom(px[pos], py[pos], parsed)
-            if keep.any():
-                yield pdf.loc[keep, pt_cols + ["polygon_id"]]
-
-    return cand.mapInPandas(refine, schema=schema)
+    cand = pts.join(pol.select(*keys, "polygon_id", "_inside", "_edges"), on=keys, how="inner")
+    keep = F.when(F.col("_inside"), F.lit(True)).otherwise(
+        raycast_inside_expr(F.col(lon_col), F.col(lat_col), F.col("_edges"))
+    )
+    out_cols = [f.name for f in points_df.schema.fields] + ["polygon_id"]
+    return cand.filter(keep).select(*out_cols)
 
 
 def knn_join_broadcast(
@@ -422,13 +559,34 @@ def knn_join_cells(
             .filter(F.col("_rk") == 1)
             .select("probe_id", "plon", "plat", F.col("cand_id").alias("nearest_id"), "dist_m")
         )
-        # safe acceptance radius: one cell size in meters at the probe
-        # latitude (anything outside the 3x3 ring is farther)
-        cell_h_m = 180.0 / n * 111194.93
-        cell_w_m = F.lit(360.0 / n * 111194.93) * F.cos(F.radians(F.col("plat")))
-        guard = F.least(F.lit(cell_h_m), cell_w_m)
-        accepted = best if last else best.filter(F.col("dist_m") < guard)
-        confirmed = accepted.select("probe_id", "nearest_id", "dist_m")
+        # Safe acceptance radius: a strict LOWER bound on the distance
+        # to anything outside the 3x3 ring. Meters/degree uses the same
+        # R=6378137 sphere as haversine_m; the east-west width is taken
+        # at the ring's worst-case (poleward-most) latitude |plat| +
+        # 2*cell_h_deg — a ring candidate can sit up to two cell
+        # heights poleward where parallels are shorter — and a 0.999
+        # slack absorbs the chord-vs-parallel-arc deficit (<= dlam^2/24
+        # relative). At coarse levels the guard can reach 0 (cos <= 0
+        # near the pole): then nothing is accepted early, which is
+        # conservative, never wrong.
+        m_per_deg = 111319.49079327358  # 6378137 * pi / 180
+        cell_h_deg = 180.0 / n
+        worst_lat = F.least(F.abs(F.col("plat")) + F.lit(2.0 * cell_h_deg), F.lit(90.0))
+        cell_w_m = F.lit(360.0 / n * m_per_deg) * F.greatest(
+            F.cos(F.radians(worst_lat)), F.lit(0.0)
+        )
+        guard = F.lit(0.999) * F.least(F.lit(cell_h_deg * m_per_deg), cell_w_m)
+        if last:
+            # final level: keep the ring-local minimum, and emit probes
+            # whose ring is EMPTY with a null nearest instead of
+            # silently dropping them
+            confirmed = remaining.select("probe_id").join(
+                best.select("probe_id", "nearest_id", "dist_m"), "probe_id", "left"
+            )
+        else:
+            confirmed = best.filter(F.col("dist_m") < guard).select(
+                "probe_id", "nearest_id", "dist_m"
+            )
         out = confirmed if out is None else out.unionByName(confirmed)
         if last:
             break
