@@ -112,3 +112,64 @@ class TestDriftVerdict:
         verdicts = {r["device_id"]: r["is_drift"] for r in is_parking_drift(df).collect()}
         assert verdicts[1] is True
         assert verdicts[2] is False
+
+
+class TestParkingIndex:
+    """filterParkingPointsByIndex (G:7009-7142): compact long-duration
+    clouds drop; passes through/near the field must survive."""
+
+    def test_cloud_dropped_track_kept(self):
+        from util_gis_spark.operators.parking import np_filter_parking_points_by_index
+
+        rng = np.random.default_rng(5)
+        drive = np.column_stack([np.arange(0, 600, 3.0), np.zeros(200)])
+        # compact cloud 100 m south of the track, 2 m jitter, 200 s dwell
+        cloud = np.tile([[300.0, -100.0]], (200, 1)) + rng.normal(0, 0.5, (200, 2))
+        xy = np.vstack([drive, cloud])
+        ts = np.arange(len(xy), dtype=float)
+        keep = np_filter_parking_points_by_index(xy[:, 0], xy[:, 1], ts)
+        assert keep[:200].all()
+        assert not keep[200:].any()
+
+    def test_cloud_near_track_rejected_by_bbox(self):
+        """A dwell INSIDE the working area is contaminated by passing
+        points -> bbox > 0.6*range -> reference keeps it."""
+        from util_gis_spark.operators.parking import np_filter_parking_points_by_index
+
+        drive = np.column_stack([np.arange(0, 600, 3.0), np.zeros(200)])
+        cloud = np.tile([[300.0, 4.0]], (200, 1))  # 4 m off the track
+        xy = np.vstack([drive, cloud])
+        ts = np.arange(len(xy), dtype=float)
+        keep = np_filter_parking_points_by_index(xy[:, 0], xy[:, 1], ts)
+        assert keep.all()
+
+    def test_dataframe_wrapper(self, spark):
+        from datetime import datetime, timedelta
+
+        from util_gis_spark.operators.parking import filter_parking_points_by_index
+
+        rng = np.random.default_rng(9)
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for dev in (1, 2):
+            for i in range(150):
+                rows.append((dev, i, t0 + timedelta(seconds=i), i * 3.0, 0.0))
+            for i in range(150, 350):  # parked cloud, 200 s
+                rows.append((dev, i, t0 + timedelta(seconds=i),
+                             450.0 + 50.0 + rng.normal(0, 0.5), -100.0 + rng.normal(0, 0.5)))
+        df = spark.createDataFrame(rows, "device_id long, point_id long, ts timestamp, x double, y double")
+        out = filter_parking_points_by_index(df)
+        got = out.groupBy("device_id").count().collect()
+        assert {r["device_id"]: r["count"] for r in got} == {1: 150, 2: 150}
+
+
+class TestSafeBuffer:
+    def test_clamp_and_floor(self):
+        from util_gis_spark.geo.gauss import calculate_safe_buffer
+
+        # mid-zone: requested passes through
+        assert calculate_safe_buffer(5.04e7, 4.3e6, 5.05e7, 4.4e6, 12.0) == 12.0
+        # near the X floor: clamped to 0.9 * margin
+        assert calculate_safe_buffer(5.0e5 + 100.0, 0.0, 5.1e5, 10.0, 500.0) == 90.0
+        # pathological: floored at MIN_BUFFER_DISTANCE
+        assert calculate_safe_buffer(5.0e5, 0.0, 5.1e5, 10.0, 500.0) == 1.0

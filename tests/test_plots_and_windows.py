@@ -267,3 +267,31 @@ class TestSparkPlots:
         assert len(out) == 1
         assert out[0]["mu"] == pytest.approx(9.73, rel=0.1)
         assert out[0]["device_id"] == 7
+
+
+class TestPointsInTimeRange:
+    """getGaussPointsByPolygonTimeRange (G:8899-8925): range join of
+    points into per-device polygon time ranges."""
+
+    def test_range_join(self, spark):
+        from datetime import datetime, timedelta
+
+        from util_gis_spark.operators.ranges import points_in_time_range
+
+        t0 = datetime(2024, 1, 1)
+        pts = spark.createDataFrame(
+            [(1, i, t0 + timedelta(seconds=i), 116.0, 39.5) for i in range(10)],
+            "device_id long, point_id long, ts timestamp, lon double, lat double",
+        )
+        ranges = spark.createDataFrame(
+            [
+                (1, 7, t0 + timedelta(seconds=2), t0 + timedelta(seconds=4)),
+                (1, 8, t0 + timedelta(seconds=8), t0 + timedelta(seconds=20)),
+                (2, 7, t0, t0 + timedelta(seconds=100)),  # other device: no match
+            ],
+            "device_id long, polygon_id long, start_ts timestamp, end_ts timestamp",
+        )
+        out = points_in_time_range(pts, ranges).collect()
+        got = sorted((r["point_id"], r["polygon_id"]) for r in out)
+        # inclusive bounds: ts in [2,4] -> polygon 7; ts in [8,9] -> polygon 8
+        assert got == [(2, 7), (3, 7), (4, 7), (8, 8), (9, 8)]

@@ -172,6 +172,20 @@ def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIELD_TRAJ_SQL = """
+SELECT device_id, point_id,
+       TIMESTAMP '2024-01-01 00:00:00' + to_seconds(seq) AS ts,
+       116.0 + ((CASE WHEN (seq // 34) % 2 = 1 THEN 33 - (seq % 34) ELSE seq % 34 END) * 3.0
+                + (device_id % 5) * 600.0) / 85690.0 AS lon,
+       39.5 + ((seq // 34) * 3.0 + (device_id // 5) * 600.0) / 111195.0 AS lat
+FROM (
+  SELECT user_id % 10 AS device_id, event_id AS point_id,
+         row_number() OVER (PARTITION BY user_id % 10 ORDER BY ts, event_id) - 1 AS seq
+  FROM events
+)
+"""
+
+
 def images_range(
     spark: SparkSession, n_images: int, partitions: int, with_caption: bool = False
 ) -> DataFrame:

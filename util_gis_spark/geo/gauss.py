@@ -133,6 +133,75 @@ def gauss_inverse(x, y, zone=None):
     return lon0 + np.degrees(lam), np.degrees(phi), z
 
 
+def gauss_forward_sql(src: str, lon: str = "lon", lat: str = "lat", zone: str = "zone") -> str:
+    """ANSI-SQL twin of gauss_forward for the DuckDB oracle: the same
+    6th-order Krüger series, with the hyperbolics spelled as exp/ln
+    (atanh(u) = ln((1+u)/(1-u))/2, sinh/cosh = (e^v -/+ e^-v)/2,
+    asinh(u) = ln(u + sqrt(u^2+1))). `src` must provide lon/lat/zone;
+    the result appends x, y (Gauss meters). Agreement with the numpy
+    kernel is sub-nanometer (both are IEEE double evaluations of the
+    identical series), so rounded downstream aggregates hash-match."""
+    e = repr(float(_E))
+    abar = repr(float(_A_BAR))
+    alpha = [repr(float(a)) for a in _ALPHA]
+    xi_terms = " ".join(
+        f"+ {alpha[j - 1]}*sin(2*{j}*xip)*(exp(2*{j}*etap)+exp(-2*{j}*etap))/2.0"
+        for j in range(1, 7)
+    )
+    eta_terms = " ".join(
+        f"+ {alpha[j - 1]}*cos(2*{j}*xip)*(exp(2*{j}*etap)-exp(-2*{j}*etap))/2.0"
+        for j in range(1, 7)
+    )
+    return f"""
+SELECT * EXCLUDE (dlam, sphi, u, t, cdl, sdl, xip, etap, xi, eta),
+       {abar}*eta + {zone}*1e6 + 5e5 AS x,
+       {abar}*xi AS y
+FROM (
+  SELECT *, xip {xi_terms} AS xi, etap {eta_terms} AS eta
+  FROM (
+    SELECT *, atan2(t, cdl) AS xip,
+           ln(sdl/sqrt(t*t+cdl*cdl) + sqrt(sdl*sdl/(t*t+cdl*cdl) + 1.0)) AS etap
+    FROM (
+      SELECT *, (exp(u)-exp(-u))/2.0 AS t, cos(dlam) AS cdl, sin(dlam) AS sdl
+      FROM (
+        SELECT *, 0.5*ln((1+sphi)/(1-sphi)) - {e}*0.5*ln((1+{e}*sphi)/(1-{e}*sphi)) AS u
+        FROM (
+          SELECT *, radians({lon} - (({zone}-1)*6.0 - 180.0 + 3.0)) AS dlam,
+                 sin(radians({lat})) AS sphi
+          FROM ({src})
+        )
+      )
+    )
+  )
+)
+"""
+
+
+# Gauss-plane validity box (reference G:5088-5091) and the safe-buffer
+# clamp constants (G:5122, G:442/5131)
+GAUSS_X_MIN, GAUSS_X_MAX = 5e5, 6.4e7
+GAUSS_Y_MIN, GAUSS_Y_MAX = -1e7, 1e7
+SAFE_BUFFER_MARGIN = 0.9
+MIN_BUFFER_DISTANCE = 1.0
+
+
+def calculate_safe_buffer(
+    x_min: float, y_min: float, x_max: float, y_max: float, requested_m: float
+) -> float:
+    """calculateSafeBuffer (G:5064-5143): clamp a requested buffer
+    distance so the buffered envelope stays inside the Gauss plane's
+    valid box — at most 0.9x the smallest margin to a box edge —
+    floored at MIN_BUFFER_DISTANCE (1 m). Pure arithmetic; the Column
+    twin is the same min/greatest chain."""
+    margin = min(
+        x_min - GAUSS_X_MIN,
+        GAUSS_X_MAX - x_max,
+        y_min - GAUSS_Y_MIN,
+        GAUSS_Y_MAX - y_max,
+    )
+    return float(max(min(requested_m, SAFE_BUFFER_MARGIN * margin), MIN_BUFFER_DISTANCE))
+
+
 def unified_zone(lon_min: float, lon_max: float) -> int:
     """Zone of the batch center, the reference's unified-zone rule
     (G:12411-12422): whole trajectory projected in one zone to avoid

@@ -94,8 +94,12 @@ def _convolve_bool(mask: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     ky, kx = kernel.shape
     fy, fx = my + ky - 1, mx + kx - 1
     # next fast sizes (powers of small primes are fine; use next pow2-ish)
-    F1 = np.fft.rfft2(mask.astype(np.float32), s=(fy, fx))
-    F2 = np.fft.rfft2(kernel.astype(np.float32), s=(fy, fx))
+    # float64 throughout: with ~4M-cell masks and large disk kernels
+    # the spectrum magnitudes reach ~1e9, where float32 rounding can
+    # push exact-integer convolution counts across the 0.5 threshold
+    # and flip boundary cells nondeterministically across platforms
+    F1 = np.fft.rfft2(mask.astype(np.float64), s=(fy, fx))
+    F2 = np.fft.rfft2(kernel.astype(np.float64), s=(fy, fx))
     conv = np.fft.irfft2(F1 * F2, s=(fy, fx))
     oy, ox = ky // 2, kx // 2
     out = conv[oy : oy + my, ox : ox + mx]

@@ -147,7 +147,7 @@ def minhash_near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> D
 
     Note the shingle tokenization here is whitespace str.split() ==
     the oracle's \\s+ regex split; the Jaccard verify runs on the
-    60-bit md5 shingle hashes (identical values to the oracle's string
+    30-bit md5 shingle hashes (identical values to the oracle's string
     sets up to md5 collisions, ~2^-45 per doc)."""
     base = _sig_kernel(docs)
     # band join carries ONLY (doc_id, band, hash) — the wide shingle
@@ -216,9 +216,11 @@ SIMHASH_BITS = 32
 
 
 def simhash_expr() -> str:
-    """16-bit SimHash over token hashes: bit i set iff the majority of
+    """32-bit SimHash over token hashes: bit i set iff the majority of
     tokens have bit i set in their 30-bit hash (strict majority: 2*cnt
-    > n). Built as one SQL expression usable in both engines modulo
+    > n). Token hashes are reduced mod 2^30, so bits 30-31 are always
+    0: the fingerprint has 30 effective bits, and the upper 16-bit LSH
+    half-band carries 14 effective bits. Built as one SQL expression usable in both engines modulo
     array-function spelling."""
     terms = []
     for i in range(SIMHASH_BITS):
@@ -236,7 +238,7 @@ def simhash_sql() -> str:
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — token-level 16-bit simhash."""
+    """(doc_id, simhash) — token-level 32-bit simhash (30 effective bits)."""
     return (
         docs.select("doc_id", "text")
         .withColumn("_toks", _toks())
@@ -248,10 +250,11 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """SimHash near-dup pairs: two 16-bit half-bands as the LSH (any
-    pair within hamming<=1 of the 32-bit hash is guaranteed to share a
-    half — pigeonhole; hamming 2 is caught unless the flips straddle
-    both halves), then exact popcount verify. All JVM."""
+    """SimHash near-dup pairs: two 16-bit half-bands as the LSH over
+    the 32-bit fingerprint (any pair within hamming<=1 is guaranteed
+    to share a half — pigeonhole; hamming 2 is caught unless the flips
+    straddle both halves; the upper half has 14 effective bits, see
+    simhash_expr), then exact popcount verify. All JVM."""
     s = simhash_docs(docs)
     bands = None
     for b in range(2):

@@ -276,10 +276,21 @@ def np_resolve_conflicts(
 
 
 def resolve_conflicts_agg(
-    df: DataFrame, group_cols: list[str], wkt_col: str = "wkt", order: str = "area_desc"
+    df: DataFrame,
+    group_cols: list[str],
+    wkt_col: str = "wkt",
+    order: str = "area_desc",
+    sort_cols: list[str] | None = None,
 ) -> DataFrame:
     """Grouped conflict resolution: per group, overlapping geometries
-    are clipped larger-wins; emits surviving (idx, wkt, mu) rows."""
+    are clipped larger-wins; emits surviving (idx, wkt, mu) rows.
+
+    `sort_cols` pins the member order inside each group (Spark does
+    not guarantee intra-group row order): member_idx refers to that
+    sorted order, and for order='insertion' (the reference's
+    accumulated-union list order) it is REQUIRED for a deterministic
+    result — pass the time/id column the reference's list was built
+    in."""
     out_schema = T.StructType(
         [T.StructField(c, df.schema[c].dataType) for c in group_cols]
         + [
@@ -290,6 +301,8 @@ def resolve_conflicts_agg(
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
         rows = np_resolve_conflicts(list(pdf[wkt_col]), order=order)
         base = {c: [k] * len(rows) for c, k in zip(group_cols, key)}
         base["member_idx"] = [np.int32(r[0]) for r in rows]

@@ -139,38 +139,52 @@ def np_filter_parking_points_by_index(
     cloud if >= min_points, their time span >= min_duration, AND the
     cloud bbox is <= 0.6*parking_range on both axes; all points of any
     detected cloud are dropped. Neighbor search is grid-binned (the
-    STRtree analogue). Returns keep-mask."""
+    STRtree analogue), evaluated for all points in one vectorized pass
+    (scatter-reduce per-cloud extents over the (src, nb) pair list).
+    Returns keep-mask."""
+    from .clustering import grid_neighbor_pairs
+
     n = len(x)
     is_parking = np.zeros(n, dtype=bool)
     if n == 0:
         return ~is_parking
-    inv = 1.0 / max(parking_range_m, 1e-9)
-    cx = np.floor(x * inv).astype(np.int64)
-    cy = np.floor(y * inv).astype(np.int64)
-    bins: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        bins.setdefault((int(cx[i]), int(cy[i])), []).append(i)
-    r2 = parking_range_m * parking_range_m
+    src, nb = grid_neighbor_pairs(x, y, max(parking_range_m, 1e-9))
+    counts = np.bincount(src, minlength=n)
+    tmin = np.full(n, np.inf); tmax = np.full(n, -np.inf)
+    xmin = np.full(n, np.inf); xmax = np.full(n, -np.inf)
+    ymin = np.full(n, np.inf); ymax = np.full(n, -np.inf)
+    np.minimum.at(tmin, src, ts_s[nb]); np.maximum.at(tmax, src, ts_s[nb])
+    np.minimum.at(xmin, src, x[nb]); np.maximum.at(xmax, src, x[nb])
+    np.minimum.at(ymin, src, y[nb]); np.maximum.at(ymax, src, y[nb])
     lim = parking_range_m * 0.6
-    for i in range(n):
-        cand: list[int] = []
-        bx, by = int(cx[i]), int(cy[i])
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cand.extend(bins.get((bx + dx, by + dy), ()))
-        arr = np.asarray(cand, dtype=np.int64)
-        d2 = (x[arr] - x[i]) ** 2 + (y[arr] - y[i]) ** 2
-        nb = arr[d2 <= r2]
-        if len(nb) < min_points:
-            continue
-        duration = float(ts_s[nb].max() - ts_s[nb].min())
-        if (
-            duration >= min_duration_s
-            and (x[nb].max() - x[nb].min()) <= lim
-            and (y[nb].max() - y[nb].min()) <= lim
-        ):
-            is_parking[nb] = True
+    cloud = (
+        (counts >= min_points)
+        & (tmax - tmin >= min_duration_s)
+        & (xmax - xmin <= lim)
+        & (ymax - ymin <= lim)
+    )
+    member = cloud[src]
+    if member.any():
+        is_parking[nb[member]] = True
     return ~is_parking
+
+
+def filter_parking_points_by_index(df_projected: DataFrame, **kw) -> DataFrame:
+    """DataFrame form of filterParkingPointsByIndex (G:7009-7142): one
+    trajectory (device_id group) per applyInPandas call, the np kernel
+    drops every detected parking cloud's points. Expects projected
+    points (x/y meters); same schema out (filter-only)."""
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        mask = np_filter_parking_points_by_index(
+            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
+        )
+        return pdf.loc[mask]
+
+    return df_projected.groupBy("device_id").applyInPandas(run, schema=schema)
 
 
 def np_split_time_overlaps(ranges: list[tuple[float, float]]) -> list[tuple[float, float]]:

@@ -11,8 +11,9 @@ points re-expressed as grouped-map operators:
 One (device_id) group = one reference invocation, run inside
 applyInPandas; geometry built with the raster morphology engine
 (geo/morphology.py — disk dilation/erosion = JTS +/- buffers).
-The time-overlap re-split algorithms 0/1 (G:13903-14089) are not yet
-ported (tracked for a later round); plots are emitted sorted by first
+The time-overlap re-split algorithms 0 (_algorithm0_merge,
+G:13903-13952) and 1 (_algorithm1_resegment, G:13953-14089) are both
+implemented and fixture-tested; plots are emitted sorted by first
 point time like the reference (G:13884-13899).
 """
 
@@ -78,7 +79,13 @@ def build_farm_plot(
     keep = np_simplify_by_angle(xy)
     sxy = xy[keep]
     p = _clamp_closing(working_width)
-    r = M.buffer_polyline(sxy, working_width / 2.0, g=grid_m, extra_pad_m=2 * p)
+    # safe-buffer clamp (G:5064-5143): binds only near the Gauss box
+    # edges; floor MIN_BUFFER_DISTANCE=1 m
+    dist = gauss.calculate_safe_buffer(
+        float(sxy[:, 0].min()), float(sxy[:, 1].min()),
+        float(sxy[:, 0].max()), float(sxy[:, 1].max()), working_width / 2.0,
+    )
+    r = M.buffer_polyline(sxy, dist, g=grid_m, extra_pad_m=2 * p)
     r = M.closing(r, p)
     rings = M.trace_rings(r, simplify_tol=grid_m)
     polys = M.rings_to_polygons(rings)

@@ -49,6 +49,19 @@ def project_trajectories(df: DataFrame, group_cols: Iterable[str] = ("device_id"
     return df.groupBy(*group_cols).applyInPandas(project, schema=schema)
 
 
+def project_trajectories_sql(src: str) -> str:
+    """DuckDB oracle twin of project_trajectories: per-device unified
+    zone from the lon-extent center, then the Krüger-series forward
+    projection (gauss.gauss_forward_sql) appending x, y."""
+    zones = f"""
+SELECT device_id,
+       greatest(least(CAST(floor(((min(lon)+max(lon))/2.0 + 180.0)/6.0) AS BIGINT) + 1, 60), 1) AS zone
+FROM ({src}) GROUP BY device_id
+"""
+    joined = f"SELECT t.*, z.zone FROM ({src}) t JOIN ({zones}) z USING (device_id)"
+    return gauss.gauss_forward_sql(joined)
+
+
 def gauss_mileage(df_projected: DataFrame) -> DataFrame:
     """getJobMileage (G:10189-10207): per-trajectory sum of consecutive
     planar Euclidean distances on the Gauss plane, meters -> km."""

@@ -131,19 +131,46 @@ def q_polygon_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wkt_4d_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """wktTo4DArray export (G:10649-10809) over the polygon layer
-    (rows-only: nested-array hashing not oracle-stable)."""
+    """wktTo4DArray export (G:10649-10809) over the polygon layer.
+    Emits a structural projection of the 4-D array (geom/ring counts,
+    ring-0 vertex count, first vertex) through ONE Arrow kernel —
+    the oracle recomputes the same structure from the layer's
+    construction rule (rectangles: 1 geom, 1 ring, 5 points, first
+    vertex = (xmin, ymin))."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from .geo.geometry import wkt_to_4d_array
 
-    @F.udf("array<array<array<array<double>>>>")
-    def to4d(w):
-        return wkt_to_4d_array(w)
-
-    p = D.polygons_wkt(spark, sf_dir)
-    return p.select(
-        "polygon_id",
-        F.size(to4d(F.col("wkt"))[0][0]).alias("n_points_ring0"),
+    schema = T.StructType(
+        [
+            T.StructField("polygon_id", T.LongType()),
+            T.StructField("n_geoms", T.IntegerType()),
+            T.StructField("n_rings", T.IntegerType()),
+            T.StructField("n_points_ring0", T.IntegerType()),
+            T.StructField("x0", T.DoubleType()),
+            T.StructField("y0", T.DoubleType()),
+        ]
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for pid, wkt in zip(pdf["polygon_id"], pdf["wkt"]):
+                a = wkt_to_4d_array(wkt)
+                if not a:
+                    rows.append((pid, 0, 0, 0, None, None))
+                    continue
+                rows.append(
+                    (pid, len(a), len(a[0]), len(a[0][0]), a[0][0][0][0], a[0][0][0][1])
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["polygon_id", "n_geoms", "n_rings", "n_points_ring0", "x0", "y0"]
+                )
+
+    p = D.polygons_wkt(spark, sf_dir).select("polygon_id", "wkt")
+    return p.mapInPandas(kernel, schema=schema)
 
 
 def q_merge_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +207,7 @@ def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
         F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit("))"),
     )
-    out = resolve_conflicts_agg(shifted.withColumn("wkt", wkt), ["grp"])
+    out = resolve_conflicts_agg(shifted.withColumn("wkt", wkt), ["grp"], sort_cols=["polygon_id"])
     return out.select("grp", "member_idx", F.round("mu", 1).alias("mu_approx"))
 
 
@@ -285,12 +312,67 @@ def q_gps_parking_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gps_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-density parking stats (rows-only)."""
+    """Grid-density parking stats (G:10012-10086) over projected field
+    trajectories; the oracle re-derives the projection via the
+    Krüger-series SQL twin."""
     from .operators.parking import grid_density_stats
     from .operators.projection import project_trajectories
 
     pts = project_trajectories(D.field_trajectories(spark, sf_dir))
     return grid_density_stats(pts)
+
+
+def _held_field_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field trajectories with synthetic parking stops: the first 150 s
+    of every 1000-s block hold a position ~60 m WEST of the block's
+    first point (a machine idling at the field edge — the offset keeps
+    working passes out of the 10 m parking neighborhood, otherwise the
+    reference's compact-bbox test correctly rejects the cloud). Same
+    derivation exists in SQL (_HELD_SQL)."""
+    pts = D.field_trajectories(spark, sf_dir)
+    s = F.col("ts").cast("long")
+    blk = F.floor(s / 1000)
+    w = Window.partitionBy("device_id", blk).orderBy("ts", "point_id")
+    hold = (s % 1000) < 150
+    return (
+        pts.withColumn("_flon", F.first("lon").over(w) - 0.0007)
+        .withColumn("_flat", F.first("lat").over(w))
+        .withColumn("lon", F.when(hold, F.col("_flon")).otherwise(F.col("lon")))
+        .withColumn("lat", F.when(hold, F.col("_flat")).otherwise(F.col("lat")))
+        .drop("_flon", "_flat")
+    )
+
+
+_HELD_SQL = """
+SELECT device_id, point_id, ts,
+       CASE WHEN epoch(ts)::BIGINT % 1000 < 150 THEN flon - 0.0007 ELSE lon END AS lon,
+       CASE WHEN epoch(ts)::BIGINT % 1000 < 150 THEN flat ELSE lat END AS lat
+FROM (
+  SELECT *,
+         first_value(lon) OVER w AS flon,
+         first_value(lat) OVER w AS flat
+  FROM ({src}) WINDOW w AS (
+    PARTITION BY device_id, epoch(ts)::BIGINT // 1000 ORDER BY ts, point_id
+  )
+)
+"""
+
+
+def q_gps_parking_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterParkingPointsByIndex (G:7009-7142): drop parking clouds
+    (>= 20 neighbors within 10 m, >= 120 s span, bbox <= 6 m) from
+    projected trajectories with synthetic idle stops; per-device kept
+    count + kept-id checksum. Oracle = the same neighbor predicate as
+    a 3x3 grid-bin self-join in SQL over the SQL-projected twin."""
+    from .operators.parking import filter_parking_points_by_index
+    from .operators.projection import project_trajectories
+
+    pts = project_trajectories(_held_field_points(spark, sf_dir))
+    kept = filter_parking_points_by_index(pts)
+    return kept.groupBy("device_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("point_id").alias("sum_kept_ids"),
+    )
 
 
 # ------------------------------------------------------------------- images
@@ -465,19 +547,23 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-level 16-bit SimHash fingerprint per document."""
+    """Token-level 32-bit SimHash fingerprint per document."""
     from .operators.dedup import simhash_docs
 
     return simhash_docs(D.load(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------- embeddings
-def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_topk(spark: SparkSession, sf_dir: str, max_probes: int = 10_000) -> DataFrame:
     """Brute-force cosine top-5 neighbors for probe vectors
-    (vec_id % 100 == 0), excluding self. Probes broadcast as a numpy
-    matrix; candidates stream through one Arrow kernel doing a blocked
-    matmul (probes x batch) — the exact-baseline ANN at 10^12 scale is
-    exactly this shape. Per-batch local top-5 keeps the shuffle tiny;
+    (vec_id % 100 == 0), excluding self. The probe side is a bounded
+    dimension table: it is counted first and REFUSED above
+    `max_probes` (at 10 k probes x 64 dims the broadcast is ~5 MB;
+    beyond that the right tool is the LSH path, q_embed_ann_lsh, or a
+    block-partitioned matmul). Within the cap, probes ship once per
+    executor via sc.broadcast — NOT captured in the task closure — and
+    candidates stream through one Arrow kernel doing a blocked matmul
+    (probes x batch). Per-batch local top-5 keeps the shuffle tiny;
     the global top-5 window finishes it."""
     import numpy as np
     import pandas as pd
@@ -486,13 +572,22 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = D.load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    probes_df = e.filter(F.col("vec_id") % 100 == 0)
+    n_probes = probes_df.count()
+    if n_probes > max_probes:
+        raise ValueError(
+            f"q_embed_topk: {n_probes} probes exceeds max_probes={max_probes}; "
+            "use the LSH/ANN path for unbounded probe sets"
+        )
     probe_rows = sorted(
         (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
-        for r in e.filter(F.col("vec_id") % 100 == 0).collect()
+        for r in probes_df.collect()
     )
-    pid = np.array([p[0] for p in probe_rows], dtype=np.int64)
+    pid_l = np.array([p[0] for p in probe_rows], dtype=np.int64)
     pm = np.vstack([p[1] for p in probe_rows])
-    pm_n = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(
+        (pid_l, pm / np.linalg.norm(pm, axis=1, keepdims=True))
+    )
 
     schema = T.StructType(
         [
@@ -503,6 +598,7 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(batches):
+        pid, pm_n = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -587,6 +683,7 @@ def catalogue() -> dict:
         "protocol_parse": q_protocol_parse,
         "gps_parking_drift": q_gps_parking_drift,
         "gps_grid_density": q_gps_grid_density,
+        "gps_parking_index": q_gps_parking_index,
         "farm_plots": q_farm_plots,
         "split_road_plots": q_split_road_plots,
         "images_pip_join": q_images_pip_join,
@@ -613,10 +710,14 @@ def catalogue() -> dict:
 
 
 def oracles() -> dict[str, str]:
+    from .operators import projection as proj_mod
+
     pts = {"pts": D.GPS_POINTS_SQL, "fpts": _filtered_sql()}
     img = {"img": D.IMAGES_SQL}
     pol = {"pol": D.POLYGONS_SQL}
     hv = haversine_sql
+    field_proj = proj_mod.project_trajectories_sql(D.FIELD_TRAJ_SQL)
+    held_proj = proj_mod.project_trajectories_sql(_HELD_SQL.format(src=D.FIELD_TRAJ_SQL))
 
     knn_body = f"""
 SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
@@ -783,6 +884,113 @@ FROM (
 ) WHERE ix1 > ix0 AND iy1 > iy0
 """,
         ),
+        "wkt_4d_array": _with(
+            {"pol": D.POLYGONS_SQL},
+            """
+SELECT polygon_id, CAST(1 AS INTEGER) AS n_geoms, CAST(1 AS INTEGER) AS n_rings,
+       CAST(5 AS INTEGER) AS n_points_ring0, xmin AS x0, ymin AS y0
+FROM pol
+""",
+        ),
+        "gps_gauss_mileage": f"""
+WITH proj AS ({field_proj})
+SELECT device_id, round(sum(step_m)/1000.0, 3) AS mileage_km, count(*) AS n_points
+FROM (
+  SELECT device_id,
+         CASE WHEN px IS NULL THEN 0.0
+              ELSE sqrt((x-px)*(x-px) + (y-py)*(y-py)) END AS step_m
+  FROM (SELECT device_id, ts, point_id, x, y,
+               lag(x) OVER w AS px, lag(y) OVER w AS py
+        FROM proj WINDOW w AS (PARTITION BY device_id ORDER BY ts, point_id))
+)
+GROUP BY device_id
+""",
+        "gps_grid_density": f"""
+WITH proj AS ({field_proj}),
+base AS (SELECT device_id, min(x) AS minx, min(y) AS miny FROM proj GROUP BY device_id),
+cells AS (
+  SELECT p.device_id,
+         floor((p.x - b.minx)/5.0) AS gx, floor((p.y - b.miny)/5.0) AS gy,
+         count(*) AS cnt
+  FROM proj p JOIN base b USING (device_id) GROUP BY 1, 2, 3
+)
+SELECT device_id, count(*) AS n_cells,
+       CAST(sum(CASE WHEN cnt > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dense,
+       round(CAST(sum(CASE WHEN cnt > 20 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS dense_ratio,
+       (CAST(sum(CASE WHEN cnt > 20 THEN 1 ELSE 0 END) AS DOUBLE)/count(*)) > 0.3 AS grid_drift
+FROM cells GROUP BY device_id
+""",
+        "gps_parking_drift": f"""
+WITH proj AS ({field_proj}),
+center AS (SELECT device_id, avg(x) AS cx, avg(y) AS cy, count(*) AS n FROM proj GROUP BY device_id),
+ranked AS (
+  SELECT p.device_id, c.n,
+         sqrt((p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy)) AS dist,
+         row_number() OVER (
+           PARTITION BY p.device_id
+           ORDER BY sqrt((p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy))
+         ) AS rk
+  FROM proj p JOIN center c USING (device_id)
+),
+area AS (
+  SELECT device_id, pi()*dist*dist*0.0015 AS area_mu
+  FROM ranked WHERE rk = CAST(ceil(n*0.9) AS BIGINT)
+),
+heads AS (
+  SELECT device_id, ts, point_id, {heading_sql('plon', 'plat', 'lon', 'lat')} AS heading
+  FROM (SELECT device_id, ts, point_id, lon, lat,
+               lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+        FROM proj WINDOW w AS (PARTITION BY device_id ORDER BY ts, point_id))
+  WHERE plon IS NOT NULL
+),
+changes AS (
+  SELECT device_id,
+         CASE WHEN ph IS NULL THEN NULL
+              ELSE least(abs(heading-ph), 360.0-abs(heading-ph)) END AS hc
+  FROM (SELECT device_id, heading,
+               lag(heading) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS ph
+        FROM heads)
+),
+turns AS (
+  SELECT device_id, count(*) AS n_valid,
+         CAST(sum(CASE WHEN hc > 85.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+  FROM changes WHERE hc IS NOT NULL GROUP BY device_id
+)
+SELECT a.device_id,
+       round(a.area_mu, 4) AS area_mu,
+       round(CASE WHEN coalesce(t.n_valid, 0) > 0
+                  THEN CAST(t.n_turns AS DOUBLE)/t.n_valid ELSE 0.0 END, 4) AS turn_ratio,
+       (a.area_mu <= 3.0 AND coalesce(t.n_valid, 0) > 0
+        AND CAST(t.n_turns AS DOUBLE)/t.n_valid >= 0.3) AS is_drift
+FROM area a LEFT JOIN turns t USING (device_id)
+""",
+        "gps_parking_index": f"""
+WITH proj AS ({held_proj}),
+p2 AS (SELECT device_id, point_id, epoch(ts) AS s, x, y,
+              CAST(floor(x/10.0) AS BIGINT) AS gx, CAST(floor(y/10.0) AS BIGINT) AS gy
+       FROM proj),
+offs AS (SELECT unnest([-1, 0, 1]) AS o),
+pairs AS (
+  SELECT a.device_id, a.point_id AS src, b.point_id AS nb, b.x AS bx, b.y AS byy, b.s AS bs
+  FROM p2 a CROSS JOIN offs ox CROSS JOIN offs oy
+  JOIN p2 b ON b.device_id = a.device_id AND b.gx = a.gx + ox.o AND b.gy = a.gy + oy.o
+  WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 100.0
+),
+clouds AS (
+  SELECT device_id, src
+  FROM pairs GROUP BY device_id, src
+  HAVING count(*) >= 20 AND max(bs) - min(bs) >= 120.0
+     AND max(bx) - min(bx) <= 6.0 AND max(byy) - min(byy) <= 6.0
+),
+parking AS (
+  SELECT DISTINCT p.device_id, p.nb
+  FROM pairs p JOIN clouds c ON p.device_id = c.device_id AND p.src = c.src
+)
+SELECT t.device_id, count(*) AS n_kept, CAST(sum(t.point_id) AS BIGINT) AS sum_kept_ids
+FROM p2 t LEFT JOIN parking k ON t.device_id = k.device_id AND t.point_id = k.nb
+WHERE k.nb IS NULL
+GROUP BY t.device_id
+""",
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
         "docs_simhash": dedup.simhash_docs_sql(),
         "docs_simhash_pairs": dedup.simhash_near_dup_pairs_sql(2),

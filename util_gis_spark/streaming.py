@@ -129,7 +129,10 @@ def sessionize_stream_stateful(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            us = (pdf["ts"].astype("int64") // 1_000).to_numpy()  # microseconds
+            # normalize explicitly to ns before the µs conversion —
+            # pandas/pyarrow may deliver datetime64[us] depending on
+            # version, which would skew the gap rule by 1000x
+            us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000).to_numpy()
             us.sort()
             for u in us:
                 # gap rule on floored seconds == batch unix_timestamp diff
@@ -145,8 +148,12 @@ def sessionize_stream_stateful(
             if seg_start is not None:
                 closed.append((device_id, seg_start, last, n))
             state.remove()
-        else:
-            state.update((int(seg_start or 0), int(last or 0), int(n)))
+        elif seg_start is not None:
+            # only persist a REAL open session — seeding (0, 0, 0) when
+            # all chunks were empty would later close a phantom
+            # epoch-1970 session (and `or 0` would conflate a
+            # legitimate epoch-0 start with absent state)
+            state.update((int(seg_start), int(last), int(n)))
             state.setTimeoutDuration(gap_s * 1000)
         if closed:
             yield pd.DataFrame(
