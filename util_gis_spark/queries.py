@@ -174,8 +174,8 @@ def q_wkt_4d_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_merge_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mergeWgs84WKT n-ary union aggregate (rows-only: raster union
-    area is grid-approximate)."""
+    """mergeWgs84WKT n-ary union aggregate; oracle = golden rows
+    (raster union area is grid-approximate but deterministic)."""
     from .operators.geometry_ops import merge_wkts_agg
 
     p = D.polygons_wkt(spark, sf_dir).withColumn("grp", F.col("polygon_id") % 5)
@@ -185,7 +185,8 @@ def q_merge_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Larger-wins overlap resolution over an overlapping derived
-    layer (rows-only: raster clip areas are grid-approximate)."""
+    layer; oracle = golden rows (raster clip areas are
+    grid-approximate but deterministic; member order pinned)."""
     from .operators.geometry_ops import resolve_conflicts_agg
 
     # build deliberately-overlapping rectangles: shift each polygon
@@ -229,8 +230,9 @@ def q_polygon_time_ranges_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_farm_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getFarmPlot composite over dense field trajectories (rows-only
-    check: geometry construction is not SQL-expressible)."""
+    """getFarmPlot composite over dense field trajectories; oracle =
+    golden rows (raster geometry is not SQL-expressible; the
+    reference's own QA for this path is visual)."""
     from .operators.plots import get_farm_plot
 
     return get_farm_plot(D.field_trajectories(spark, sf_dir), working_width=3.0).select(
@@ -239,7 +241,7 @@ def q_farm_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_split_road_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """splitRoad composite (rows-only check)."""
+    """splitRoad composite; oracle = golden rows (see farm_plots)."""
     from .operators.plots import split_road
 
     return split_road(D.field_trajectories(spark, sf_dir), working_width=3.0).select(
@@ -249,15 +251,15 @@ def q_split_road_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gps_gauss_mileage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar Gauss-plane mileage (getJobMileage G:10189) over field
-    trajectories (rows-only: TM projection is not SQL-expressible)."""
+    trajectories; oracle = Krüger-series SQL twin (gauss_forward_sql)."""
     from .operators.projection import gauss_mileage, project_trajectories
 
     return gauss_mileage(project_trajectories(D.field_trajectories(spark, sf_dir)))
 
 
 def q_gps_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cadence session windows (splitTimeWindows G:6249) summary
-    (rows-only: sequential state machine)."""
+    """Cadence session windows (splitTimeWindows G:6249) summary;
+    oracle = golden rows (sequential state machine)."""
     from .operators.windows import split_time_windows
 
     out = split_time_windows(D.gps_points(spark, sf_dir))
@@ -302,8 +304,8 @@ def q_protocol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gps_parking_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """isParkingDrift verdict per trajectory (rows-only: needs Gauss
-    projection)."""
+    """isParkingDrift verdict per trajectory; oracle = full SQL twin
+    over the Krüger-projected trajectories."""
     from .operators.parking import is_parking_drift
     from .operators.projection import project_trajectories
 
@@ -433,16 +435,17 @@ def q_images_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode + luminance stats (rows-only: decode is the
-    deterministic codec stand-in; plumbing is real Arrow/binary)."""
+    """Stubbed decode + luminance stats; oracle = golden rows (decode
+    is the deterministic codec stand-in; plumbing is real
+    Arrow/binary)."""
     from .operators.images import decode_stats
 
     return decode_stats(D.images_with_bytes(spark, sf_dir))
 
 
 def q_images_psnr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-format min PSNR of the lossy re-encode roundtrip (rows-only;
-    the >= 40 dB invariant is asserted in tests)."""
+    """Per-format min PSNR of the lossy re-encode roundtrip; oracle =
+    golden rows (the >= 40 dB invariant is also asserted in tests)."""
     from .operators.images import reencode_roundtrip_check
 
     imgs = D.images_with_bytes(spark, sf_dir)
@@ -525,7 +528,8 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gps_kalman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kalman-smoothed trajectories (north-star extension): per-device
-    mean displacement between raw and smoothed track (rows-only)."""
+    mean displacement between raw and smoothed track; oracle =
+    golden rows (sequential recursion)."""
     from .operators.projection import project_trajectories
     from .operators.windows import kalman_smooth_trajectories
 
@@ -710,6 +714,7 @@ def catalogue() -> dict:
 
 
 def oracles() -> dict[str, str]:
+    from . import goldens
     from .operators import projection as proj_mod
 
     pts = {"pts": D.GPS_POINTS_SQL, "fpts": _filtered_sql()}
@@ -731,7 +736,7 @@ SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
 ) WHERE rk = 1
 """
 
-    return {
+    out = {
         "gps_filter_points": _with(pts, "SELECT * FROM fpts"),
         "gps_speed_filter": _with(
             pts, filters.speed_filter_sql("SELECT * FROM fpts")
@@ -1037,3 +1042,9 @@ SELECT probe_id, neighbor_id, cos_sim FROM (
 ) WHERE rk <= 5
 """,
     }
+    # Golden-row oracles for the non-SQL-expressible queries (raster
+    # morphology, sequential state machines, Kalman, binary decode):
+    # literal rows pinned at sf0.01 — the driver's correctness scale —
+    # regenerated by scripts/make_goldens.py after intentional changes.
+    out.update(goldens.GOLDEN_SQL)
+    return out
