@@ -87,6 +87,7 @@ def main() -> None:
         lambda: joins.pip_join_hybrid(
             images, polys, res=18, carry_cols=CARRY, broadcast_cellmap=False
         ).count(),
+        reps=2,
     )
 
     # --- kNN join: nearest polygon center for every image
@@ -94,14 +95,14 @@ def main() -> None:
         (int(r["polygon_id"]), (r["xmin"] + r["xmax"]) / 2.0, (r["ymin"] + r["ymax"]) / 2.0)
         for r in D.polygons(spark, sf_dir).collect()
     ]
-    run("knn_join", lambda: joins.knn_join_broadcast(images, centers).count())
+    run("knn_join", lambda: joins.knn_join_broadcast(images, centers).count(), reps=2)
 
     # --- GPS trajectory pipeline: filter -> sessionize -> mileage
     def gps_pipeline():
         pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
         return trajectory.great_circle_mileage(pts).count() + trajectory.session_summary(pts).count()
 
-    run("gps_pipeline", gps_pipeline)
+    run("gps_pipeline", gps_pipeline, reps=2)
 
     # --- text dedup + quality over documents
     def text_ops():
@@ -109,7 +110,7 @@ def main() -> None:
 
         return q_docs_dedup_exact(spark, sf_dir).count() + q_docs_token_stats(spark, sf_dir).count()
 
-    run("text_ops", text_ops)
+    run("text_ops", text_ops, reps=2)
 
     # --- ANN brute-force cosine top-k over embeddings
     def ann():
@@ -117,7 +118,7 @@ def main() -> None:
 
         return q_embed_topk(spark, sf_dir).count()
 
-    run("ann_topk", ann)
+    run("ann_topk", ann, reps=2)
 
     # --- MinHash-LSH near-dup pairs over documents
     def minhash():
@@ -125,7 +126,7 @@ def main() -> None:
 
         return minhash_near_dup_pairs(D.load(spark, sf_dir, "documents")).count()
 
-    run("minhash_dedup", minhash)
+    run("minhash_dedup", minhash, reps=2)
 
     # --- plot construction composite (splitRoad) over field trajectories
     def plots():
@@ -133,7 +134,7 @@ def main() -> None:
 
         return split_road(D.field_trajectories(spark, sf_dir), working_width=3.0).count()
 
-    run("split_road", plots)
+    run("split_road", plots, reps=2)
 
     _emit(sf, cpus, factor, n_images, timings, counts)
 

@@ -212,3 +212,20 @@ class TestDerivedViews:
         assert sorted((r["image_id"], bytes(r["bytes"]), r["caption"]) for r in a) == sorted(
             (r["image_id"], bytes(r["bytes"]), r["caption"]) for r in b
         )
+
+
+class TestAnnIvf:
+    def test_ivf_structure_and_self_exclusion(self, spark, sf_dir):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import ann_ivf_topk
+
+        out = ann_ivf_topk(D.load(spark, sf_dir, "embeddings"), k=3, nprobe=3).collect()
+        assert out, "IVF returned nothing"
+        by_probe = {}
+        for r in out:
+            assert r["probe_id"] != r["neighbor_id"]
+            assert -1.0001 <= r["cos_sim"] <= 1.0001
+            by_probe.setdefault(r["probe_id"], []).append(r["cos_sim"])
+        for sims in by_probe.values():
+            assert len(sims) <= 3
+            assert sims == sorted(sims, reverse=True)

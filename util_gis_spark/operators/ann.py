@@ -2,13 +2,19 @@
 
 - Brute-force cosine top-k (queries.q_embed_topk) is the exact
   baseline: JVM higher-order functions, O(P x N).
-- LSH variant (here): deterministic random-hyperplane signatures — bit
+- LSH variant: deterministic random-hyperplane signatures — bit
   j of the bucket is sign(dot(v, h_j)) with h_j[d] derived from an
   integer hash, so the SAME plane values are expressible in Spark
   (0-based transform index) and DuckDB (1-based) and the bucketing is
   engine-independent. Probes only compare against candidates in their
-  bucket: O(P x N / 2^bits) — the scale path; recall is traded via
-  `bits`.
+  bucket: O(P x N / 2^bits) — recall traded via `bits`.
+- IVF variant (ann_ivf_topk): a coarse quantizer (per-label centroids
+  — a deterministic stand-in for k-means; at 10^12 scale the lists
+  would come from a sampled k-means with ~sqrt(N) lists) assigns every
+  vector to its nearest-centroid inverted list; probes scan only their
+  top-`nprobe` lists, exact cosine re-ranks. All JVM: the centroid
+  table is a broadcast, the list scan is an equi-join on list id (the
+  shuffle key at scale; salt hot lists like any skewed join).
 """
 
 from __future__ import annotations
@@ -81,6 +87,92 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def _dot_expr(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ann_ivf_topk(
+    embeddings_df: DataFrame,
+    probe_filter: str = "vec_id % 100 = 0",
+    k: int = 3,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF top-k: coarse-quantize every vector to its max-dot centroid
+    list (centroids = per-label elementwise means), probe the top
+    `nprobe` lists per query vector, exact-cosine re-rank within them.
+    Output (probe_id, neighbor_id, cos_sim, list_id)."""
+    e = embeddings_df.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = e.select(F.size("v").alias("d")).first()["d"]
+    cents = (
+        e.groupBy("label")
+        .agg(*[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(dim)])
+        .select(F.col("label").alias("list_id"), F.array(*[f"_c{i}" for i in range(dim)]).alias("c"))
+    )
+    scored_lists = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "list_id", _dot_expr("v", "c").alias("_dot")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("_dot").desc(), F.col("list_id"))
+    ranked = scored_lists.withColumn("_rk", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("_rk") == 1).select("vec_id", "v", "list_id")
+    probes = (
+        ranked.filter(F.col("_rk") <= nprobe)
+        .filter(F.expr(probe_filter))
+        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "list_id")
+    )
+    joined = probes.join(assigned, "list_id").filter(F.col("probe_id") != F.col("vec_id"))
+    scored = joined.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos_expr("pv", "v"), 5).alias("cos_sim"),
+        "list_id",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def ann_ivf_topk_sql(probe_filter: str = "vec_id % 100 = 0", k: int = 3, nprobe: int = 3) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT label AS list_id, list(valavg ORDER BY pos) AS c FROM (
+    SELECT label, g.pos, avg(e.v[g.pos]) AS valavg
+    FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) g
+    GROUP BY label, g.pos
+  ) GROUP BY label
+), ranked AS (
+  SELECT vec_id, v, list_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_aggregate(list_transform(list_zip(v, c), t -> t[1] * t[2]), 'sum') DESC,
+                    list_id
+         ) AS _rk
+  FROM e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, list_id FROM ranked WHERE _rk = 1
+), probes AS (
+  SELECT vec_id AS probe_id, v AS pv, list_id
+  FROM ranked WHERE _rk <= {nprobe} AND {probe_filter}
+), scored AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id, p.list_id,
+         round(
+           list_aggregate(list_transform(list_zip(p.pv, a.v), t -> t[1] * t[2]), 'sum')
+           / (sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))
+              * sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))),
+           5) AS cos_sim
+  FROM probes p JOIN assigned a ON p.list_id = a.list_id AND p.probe_id <> a.vec_id
+)
+SELECT probe_id, neighbor_id, cos_sim, list_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS _rk
+  FROM scored
+) WHERE _rk <= {k}
+"""
 
 
 def ann_lsh_topk_sql(probe_filter: str = "vec_id % 100 = 0", k: int = 3) -> str:

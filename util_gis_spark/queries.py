@@ -637,6 +637,16 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(D.load(spark, sf_dir, "embeddings"))
 
 
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: coarse quantizer (per-label centroid lists) +
+    nprobe list scan + exact cosine re-rank — the inverted-list scale
+    path next to LSH (at 10^12 the lists come from sampled k-means
+    with ~sqrt(N) lists; the list id is the shuffle key)."""
+    from .operators.ann import ann_ivf_topk
+
+    return ann_ivf_topk(D.load(spark, sf_dir, "embeddings"))
+
+
 def q_images_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-large kNN: nearest filtered GPS point per image via the
     all-JVM cell ring-expansion ladder (knn_join_cells)."""
@@ -708,6 +718,7 @@ def catalogue() -> dict:
         "gps_kalman_drift": q_gps_kalman_drift,
         "embed_topk": q_embed_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_ann_ivf": q_embed_ann_ivf,
         "embed_label_centroids": q_embed_label_centroids,
         "images_knn_points": q_images_knn_points,
     }
@@ -1000,6 +1011,7 @@ GROUP BY t.device_id
         "docs_simhash": dedup.simhash_docs_sql(),
         "docs_simhash_pairs": dedup.simhash_near_dup_pairs_sql(2),
         "embed_ann_lsh": ann_mod.ann_lsh_topk_sql(),
+        "embed_ann_ivf": ann_mod.ann_ivf_topk_sql(),
         "embed_label_centroids": """
 SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
        round(avg(val), 5) AS centroid_val, count(*) AS n
