@@ -104,3 +104,32 @@ class TestImages:
         out = I.phash_hamming_dups(df, max_hamming=4).collect()
         pairs = {(r["key_a"], r["key_b"]): r["hamming"] for r in out}
         assert pairs == {(1, 2): 1}
+
+
+class TestResizeAndFrames:
+    def test_resize_shape_and_determinism(self, spark, sf_dir):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.images import resize_images
+
+        imgs = D.images_with_bytes(spark, sf_dir).limit(20)
+        a = {r["image_id"]: r["mean_lum"] for r in resize_images(imgs, 16, 16).collect()}
+        b = {r["image_id"]: r["mean_lum"] for r in resize_images(imgs, 16, 16).collect()}
+        assert a == b and len(a) == 20
+        assert all(0.0 <= v <= 255.0 for v in a.values())
+
+    def test_frame_sampling_cadence(self, spark, sf_dir):
+        import math
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.images import sample_video_frames
+
+        vids = D.images_with_bytes(spark, sf_dir).limit(25)
+        rows = sample_video_frames(vids, every_n=4).collect()
+        assert rows
+        per_vid = {}
+        for r in rows:
+            assert r["frame_idx"] % 4 == 0
+            assert 0 <= r["frame_idx"] < r["n_frames"]
+            per_vid.setdefault(r["video_id"], (r["n_frames"], []))[1].append(r["frame_idx"])
+        for n_frames, idxs in per_vid.values():
+            assert len(idxs) == math.ceil(n_frames / 4)

@@ -113,6 +113,92 @@ def reencode_roundtrip_check(images_df: DataFrame, lossy: bool = True) -> DataFr
     )
 
 
+def resize_images(images_df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Decode (stub) -> nearest-neighbor resize -> stats of the resized
+    raster. The RESIZE math is real numpy (index-map gather, the same
+    kernel a thumbnail service runs); only the codec behind it is the
+    deterministic stand-in. Emits (image_id, out_w, out_h, mean_lum)
+    so downstream sees typed metadata, not pixels — at 100 TB the
+    resized bytes would go to a sink column, never through a shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("mean_lum", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for _, row in pdf.iterrows():
+                w = min(int(row["w"]), 64)
+                h = min(int(row["h"]), 64)
+                px = _decode_stub(bytes(row["bytes"]), w, h)
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                small = px[yi][:, xi]
+                lum = 0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
+                ids.append(row["image_id"])
+                means.append(round(float(lum.mean()), 4))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "out_w": np.int32(out_w),
+                    "out_h": np.int32(out_h),
+                    "mean_lum": means,
+                }
+            )
+
+    return images_df.select("image_id", "bytes", "w", "h").mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(videos_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling over opaque video payloads: each binary payload
+    decodes (stub) to its frame count's worth of frames; every
+    `every_n`-th frame is emitted as its own row with typed metadata +
+    per-frame luminance. The one-row-in / many-rows-out mapInPandas
+    shape is the real plumbing a frame extractor needs (row explosion
+    happens INSIDE the Arrow kernel, so frame bytes never ride a JVM
+    explode). Frame count derives from the metadata (h % 28 + 2 — the
+    deterministic stand-in for container headers)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("mean_lum", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, fidx, nfr, means = [], [], [], []
+            for _, row in pdf.iterrows():
+                n_frames = int(row["h"]) % 28 + 2
+                w = min(int(row["w"]), 32)
+                h = min(int(row["h"]), 32)
+                data = bytes(row["bytes"])
+                for i in range(0, n_frames, every_n):
+                    # per-frame decode: frame index salts the seed, the
+                    # same way a real demuxer seeks to frame i
+                    px = _decode_stub(data + i.to_bytes(2, "little"), w, h)
+                    lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                    vids.append(row["image_id"])
+                    fidx.append(np.int32(i))
+                    nfr.append(np.int32(n_frames))
+                    means.append(round(float(lum.mean()), 4))
+            if vids:
+                yield pd.DataFrame(
+                    {"video_id": vids, "frame_idx": fidx, "n_frames": nfr, "mean_lum": means}
+                )
+
+    return videos_df.select(
+        F.col("image_id"), "bytes", "w", "h"
+    ).mapInPandas(run, schema=out_schema)
+
+
 def caption_byte_equality(src_df: DataFrame, out_df: DataFrame) -> DataFrame:
     """End-to-end caption invariant: join pipeline output back to the
     source on image_id and compare UTF-8 BYTES (not just string

@@ -456,6 +456,28 @@ def q_images_psnr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_images_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail plumbing: decode (stub) -> real nearest-neighbor
+    resize -> stats; oracle = golden rows."""
+    from .operators.images import resize_images
+
+    return resize_images(D.images_with_bytes(spark, sf_dir))
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (every-4th frame inside the Arrow
+    kernel), rolled up per video; oracle = golden rows."""
+    from .operators.images import sample_video_frames
+
+    out = sample_video_frames(D.images_with_bytes(spark, sf_dir), every_n=4)
+    return out.groupBy("video_id").agg(
+        F.first("n_frames").alias("n_frames"),
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").alias("last_idx"),
+        F.round(F.avg("mean_lum"), 4).alias("avg_lum"),
+    )
+
+
 # ---------------------------------------------------------------- documents
 def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on text, keeper = min doc_id."""
@@ -708,6 +730,8 @@ def catalogue() -> dict:
         "images_phash_dups": q_images_phash_dups,
         "images_decode_stats": q_images_decode_stats,
         "images_psnr_check": q_images_psnr_check,
+        "images_resize_stats": q_images_resize_stats,
+        "video_frame_sample": q_video_frame_sample,
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
