@@ -229,3 +229,29 @@ class TestAnnIvf:
         for sims in by_probe.values():
             assert len(sims) <= 3
             assert sims == sorted(sims, reverse=True)
+
+
+class TestResPlanner:
+    def test_pick_res_scales_with_polygon_size(self):
+        from util_gis_spark.geo import cells
+        from util_gis_spark.operators.joins import pick_res
+
+        big = [(0.0, 0.0, 10.0, 10.0)]       # continent-scale
+        small = [(0.0, 0.0, 0.001, 0.001)]   # city-block
+        assert pick_res(big) < pick_res(small)
+        assert 8 <= pick_res(big) <= cells.MAX_RES
+        assert 8 <= pick_res(small) <= cells.MAX_RES
+        # field-plot scale (the engine's native layer): mid-range res
+        assert 13 <= pick_res([(0.0, 0.0, 0.07, 0.07)] * 25) <= 17
+
+    def test_auto_res_join_matches_fixed_res(self, spark, sf_dir):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators import joins
+
+        imgs = D.images(spark, sf_dir)
+        polys = D.polygons_wkt(spark, sf_dir)
+        auto = {(r["image_key"], r["polygon_id"])
+                for r in joins.pip_join(imgs, polys, carry_cols=["image_key"]).collect()}
+        fixed = {(r["image_key"], r["polygon_id"])
+                 for r in joins.pip_join(imgs, polys, res=16, carry_cols=["image_key"]).collect()}
+        assert auto == fixed

@@ -83,3 +83,25 @@ def test_streaming_tile_counts_match_batch(spark, sf_dir, stream_results):
     for r in tiles.collect():
         got[r["cell"]] = got.get(r["cell"], 0) + r["n"]
     assert got == want
+
+
+def test_streaming_simhash_dups_match_batch(spark, sf_dir):
+    """Streaming near-dup detection emits exactly the batch pair set
+    (every band-sharing pair within max_hamming, deduped)."""
+    from util_gis_spark.operators.dedup import simhash_near_dup_pairs
+
+    q = (
+        S.simhash_dup_stream(S.document_stream(spark, sf_dir), max_hamming=2)
+        .writeStream.format("memory")
+        .queryName("t_simdup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_a"], r["doc_b"]) for r in spark.table("t_simdup").collect()}
+    batch = simhash_near_dup_pairs(D.load(spark, sf_dir, "documents"), max_hamming=2)
+    want = {(r["doc_a"], r["doc_b"]) for r in batch.collect()}
+    assert got == want
+    for r in spark.table("t_simdup").collect():
+        assert r["hamming"] <= 2 and r["doc_a"] < r["doc_b"]

@@ -466,22 +466,51 @@ def knn_join_broadcast(
     return probes_df.select(probe_id_col, lon_col, lat_col).mapInPandas(nearest, schema=schema)
 
 
+def pick_res(
+    envs: list[tuple[float, float, float, float]],
+    target_cells_per_poly: int = 128,
+    lo: int = 8,
+    hi: int = cells.MAX_RES,
+) -> int:
+    """Resolution heuristic: pick the grid resolution at which the
+    MEDIAN polygon envelope covers ~`target_cells_per_poly` cells.
+    Too coarse -> interior accept never fires and every candidate
+    refines; too fine -> the cell map explodes (classification cost +
+    broadcast size scale with cells). ~128 cells/polygon keeps the
+    boundary band at ~4/sqrt(128) ≈ 35% of covered cells (perimeter/
+    area) while the map stays O(100) rows per polygon — measured sweet
+    spot for both flavors; clamped to [lo, hi]."""
+    import math
+
+    if not envs:
+        return 14
+    areas = sorted(max((x1 - x0), 1e-12) * max((y1 - y0), 1e-12) for x0, y0, x1, y1 in envs)
+    med = areas[len(areas) // 2]
+    # cells(r) = area / ((360/2^r)*(180/2^r)) = area * 4^r / 64800
+    r = 0.5 * math.log2(target_cells_per_poly * 64800.0 / med)
+    return int(min(max(round(r), lo), hi))
+
+
 def pip_join(
     points_df: DataFrame,
     polygons_wkt_df: DataFrame,
-    res: int = 17,
+    res: int | None = None,
     carry_cols: list[str] | None = None,
     broadcast_threshold_cells: int = 2_000_000,
     **kw,
 ) -> DataFrame:
     """Strategy-selecting PIP join (the thin planner from SURVEY §4):
-    estimates the polygon side's cell-map size (envelope area / cell
-    area, cheap driver-side arithmetic on the collected small side) and
-    picks the broadcast cell map when it fits comfortably in a task
-    broadcast (~16 bytes/cell), else the shuffled cell map. Mirrors the
+    with `res=None` it picks the grid resolution from the polygon
+    envelopes (pick_res — median polygon covers ~128 cells), then
+    estimates the cell-map size (envelope area / cell area, cheap
+    driver-side arithmetic on the collected small side) and picks the
+    broadcast cell map when it fits comfortably in a task broadcast
+    (~16 bytes/cell), else the shuffled cell map. Mirrors the
     reference's threshold-based dispatch (G:12284-12295) at distributed
     scale."""
     polys = _collect_polygons(polygons_wkt_df)
+    if res is None:
+        res = pick_res([env for _pid, _parsed, env in polys])
     n = float(1 << res)
     cell_w, cell_h = 360.0 / n, 180.0 / n
     est_cells = 0.0

@@ -174,6 +174,117 @@ def sessionize_stream_stateful(
     )
 
 
+def document_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based stream over the documents table (the sandbox
+    stand-in for a Kafka topic of crawled documents)."""
+    import hashlib
+    import os
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    stage = f"/tmp/util_gis_spark_docstream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+        .select("doc_id", "text")
+    )
+
+
+def simhash_dup_stream(
+    docs_stream: DataFrame, max_hamming: int = 2, max_bucket: int = 10_000
+) -> DataFrame:
+    """Streaming near-duplicate detection: the live-ingestion form of
+    dedup.simhash_near_dup_pairs. The simhash fingerprint + half-band
+    LSH are the same pure Column expressions as the batch operator
+    (streaming-safe); per (band, bh) bucket an applyInPandasWithState
+    keeps the fingerprints seen so far and emits (doc_a, doc_b,
+    hamming, band) the moment a new document collides within
+    `max_hamming`. State per bucket is capped at `max_bucket`
+    fingerprints (16 bytes each) — at production scale the eviction
+    policy would be a time-TTL via setTimeoutDuration, trading recall
+    on ancient duplicates for bounded state, exactly like a watermark.
+    Pairs colliding in BOTH half-bands are emitted once per band —
+    dedup downstream if exact-once pairs matter."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.dedup import simhash_docs
+
+    s = simhash_docs(docs_stream)
+    bands = None
+    for b in range(2):
+        part = s.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            ((F.col("simhash") / (1 << (16 * b))).cast("long") % 65536).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField("hamming", IntegerType()),
+            StructField("band", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("hashes", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        band = int(key[0])
+        ids: list[int] = []
+        hashes: list[int] = []
+        if state.exists:
+            st_ids, st_hashes = state.get
+            ids = list(st_ids)
+            hashes = list(st_hashes)
+        rows_a, rows_b, rows_h = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            arriving = sorted(zip(pdf["doc_id"], pdf["simhash"]))
+            for doc_id, sh in arriving:
+                doc_id, sh = int(doc_id), int(sh)
+                for prev_id, prev_sh in zip(ids, hashes):
+                    if prev_id == doc_id:
+                        continue
+                    h = (prev_sh ^ sh).bit_count()
+                    if h <= max_hamming:
+                        rows_a.append(min(prev_id, doc_id))
+                        rows_b.append(max(prev_id, doc_id))
+                        rows_h.append(h)
+                if len(ids) < max_bucket:
+                    ids.append(doc_id)
+                    hashes.append(sh)
+        state.update((ids, hashes))
+        if rows_a:
+            yield pd.DataFrame(
+                {"doc_a": rows_a, "doc_b": rows_b, "hamming": rows_h, "band": band}
+            )
+
+    return bands.groupBy("band", "bh").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Complete-mode execution into an in-memory table (tests/demos):
     processes everything available, stops, returns the result."""
