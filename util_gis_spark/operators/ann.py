@@ -175,6 +175,43 @@ SELECT probe_id, neighbor_id, cos_sim, list_id FROM (
 """
 
 
+def embed_cosine_dups(embeddings_df: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the LSH
+    bucket join (never all-pairs — at 10^12 vectors the bucket count
+    scales with `bits`), exact cosine verify at `threshold`. Output
+    (vec_a, vec_b, cos_sim), vec_a < vec_b. The dedup-flavored twin of
+    ann_lsh_topk (pairs above a similarity bar instead of top-k)."""
+    e = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
+    left = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    right = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    cand = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = cand.select(
+        "vec_a", "vec_b", F.round(_cos_expr("va", "vb"), 5).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def embed_cosine_dups_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0
+), scored AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round(
+           list_aggregate(list_transform(list_zip(l.v, r.v), t -> t[1] * t[2]), 'sum')
+           / (sqrt(list_aggregate(list_transform(l.v, x -> x*x), 'sum'))
+              * sqrt(list_aggregate(list_transform(r.v, x -> x*x), 'sum'))),
+           5) AS cos_sim
+  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+"""
+
+
 def ann_lsh_topk_sql(probe_filter: str = "vec_id % 100 = 0", k: int = 3) -> str:
     return f"""
 WITH e0 AS (

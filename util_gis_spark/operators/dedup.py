@@ -53,6 +53,15 @@ def bigrams_sql() -> str:
     )
 
 
+def char3grams_sql() -> str:
+    """Distinct character 3-gram shingles (DuckDB; substring is
+    character-based, matching Python slicing in the Arrow kernel)."""
+    return (
+        "list_distinct(CASE WHEN length(text) < 3 THEN [] ELSE "
+        "list_transform(generate_series(1, length(text)-2), i -> substring(text, i, 3)) END)"
+    )
+
+
 def shingle_hash_expr():
     """Per-shingle 30-bit hash from md5 (identical in both engines)."""
     return F.expr(
@@ -95,7 +104,7 @@ def band_hash_sql(band: int) -> str:
     return f"md5(concat_ws(',', {cols}))"
 
 
-def _sig_kernel(docs: DataFrame) -> DataFrame:
+def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
     """Arrow kernel computing per-doc (shingle-hash array, signature):
     hashlib.md5 == SQL md5 byte-for-byte, and the 16 permutations run
     as one numpy matrix op — ~10x faster than interpreted HOFs while
@@ -121,8 +130,11 @@ def _sig_kernel(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, hs, sigs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in text.split() if t]
-                sh = sorted({f"{x} {y}" for x, y in zip(toks, toks[1:])})
+                if shingler == "char3":
+                    sh = sorted({text[i : i + 3] for i in range(len(text) - 2)})
+                else:
+                    toks = [t for t in text.split() if t]
+                    sh = sorted({f"{x} {y}" for x, y in zip(toks, toks[1:])})
                 if not sh:
                     continue
                 h = np.array(
@@ -141,7 +153,9 @@ def _sig_kernel(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
 
 
-def minhash_near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def minhash_near_dup_pairs(
+    docs: DataFrame, jaccard_threshold: float = 0.5, shingler: str = "word_pair"
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs colliding in >= 1 LSH band and
     passing the exact shingle-Jaccard verify. doc_a < doc_b.
 
@@ -149,7 +163,7 @@ def minhash_near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> D
     the oracle's \\s+ regex split; the Jaccard verify runs on the
     30-bit md5 shingle hashes (identical values to the oracle's string
     sets up to md5 collisions, ~2^-45 per doc)."""
-    base = _sig_kernel(docs)
+    base = _sig_kernel(docs, shingler=shingler)
     # band join carries ONLY (doc_id, band, hash) — the wide shingle
     # arrays are re-attached by key afterwards, so the x4-band shuffle
     # stays narrow (at 10^12 docs the shingles would be TBs x4)
@@ -182,7 +196,7 @@ def minhash_near_dup_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> D
     )
 
 
-def minhash_near_dup_pairs_sql(jaccard_threshold: float = 0.5) -> str:
+def minhash_near_dup_pairs_sql(jaccard_threshold: float = 0.5, shingler: str = "word_pair") -> str:
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, _shingles, {b} AS band, {band_hash_sql(b)} AS bh FROM sigs"
         for b in range(N_BANDS)
@@ -191,7 +205,7 @@ def minhash_near_dup_pairs_sql(jaccard_threshold: float = 0.5) -> str:
 WITH base AS (
   SELECT doc_id, {_toks_sql()} AS _toks, text FROM documents
 ), sh AS (
-  SELECT doc_id, {bigrams_sql()} AS _shingles FROM base
+  SELECT doc_id, {char3grams_sql() if shingler == "char3" else bigrams_sql()} AS _shingles FROM base
 ), hashed AS (
   SELECT doc_id, _shingles, {shingle_hash_sql()} AS _hashes FROM sh WHERE len(_shingles) > 0
 ), sigs AS (
@@ -307,3 +321,14 @@ SELECT doc_id, CAST({simhash_sql()} AS BIGINT) AS simhash FROM (
   ) WHERE len(_shingles) > 0
 )
 """
+
+
+def ngram_jaccard_pairs(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: character-trigram shingles
+    through the same MinHash-LSH band pipeline (the scale path — exact
+    trigram Jaccard runs only on band collisions, never all-pairs)."""
+    return minhash_near_dup_pairs(docs, jaccard_threshold, shingler="char3")
+
+
+def ngram_jaccard_pairs_sql(jaccard_threshold: float = 0.6) -> str:
+    return minhash_near_dup_pairs_sql(jaccard_threshold, shingler="char3")

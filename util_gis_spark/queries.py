@@ -572,6 +572,22 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(D.load(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-dup pairs (MinHash-LSH candidate
+    generation, exact trigram Jaccard verify on collisions only)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(D.load(spark, sf_dir, "documents"), jaccard_threshold=0.6)
+
+
+def q_embed_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidates, exact
+    cosine verify) — the vector-space dedup flavor."""
+    from .operators.ann import embed_cosine_dups
+
+    return embed_cosine_dups(D.load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level 32-bit SimHash fingerprint per document."""
     from .operators.dedup import simhash_docs
@@ -737,6 +753,8 @@ def catalogue() -> dict:
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "embed_cosine_dups": q_embed_cosine_dups,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "gps_kalman_drift": q_gps_kalman_drift,
@@ -1032,6 +1050,8 @@ WHERE k.nb IS NULL
 GROUP BY t.device_id
 """,
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
+        "docs_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(0.6),
+        "embed_cosine_dups": ann_mod.embed_cosine_dups_sql(0.3),
         "docs_simhash": dedup.simhash_docs_sql(),
         "docs_simhash_pairs": dedup.simhash_near_dup_pairs_sql(2),
         "embed_ann_lsh": ann_mod.ann_lsh_topk_sql(),
