@@ -255,3 +255,36 @@ class TestResPlanner:
         fixed = {(r["image_key"], r["polygon_id"])
                  for r in joins.pip_join(imgs, polys, res=16, carry_cols=["image_key"]).collect()}
         assert auto == fixed
+
+
+class TestBucketedSink:
+    def test_colocated_join_is_exchange_free(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.geo.cells import cell_expr
+        from util_gis_spark.io.bucketed import count_exchanges, read_bucketed, write_bucketed
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            imgs = D.images(spark, sf_dir).select(
+                "image_key", cell_expr(F.col("lon"), F.col("lat"), 14).alias("cell")
+            )
+            pts = D.gps_points(spark, sf_dir).select(
+                "point_id", cell_expr(F.col("lon"), F.col("lat"), 14).alias("cell")
+            )
+            plain = imgs.join(pts, "cell")
+            n_plain = plain.count()
+            assert count_exchanges(plain) >= 2
+
+            write_bucketed(imgs, "t_img_b", n_buckets=8)
+            write_bucketed(pts, "t_pts_b", n_buckets=8)
+            co = read_bucketed(spark, "t_img_b").join(read_bucketed(spark, "t_pts_b"), "cell")
+            assert count_exchanges(co) == 0
+            assert co.count() == n_plain
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS t_img_b")
+            spark.sql("DROP TABLE IF EXISTS t_pts_b")
