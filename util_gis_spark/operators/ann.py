@@ -108,7 +108,13 @@ def ann_ivf_topk(
     e = embeddings_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = e.select(F.size("v").alias("d")).first()["d"]
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:  # empty input: empty result, not a crash
+        spark = embeddings_df.sparkSession
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
+        )
+    dim = first["d"]
     cents = (
         e.groupBy("label")
         .agg(*[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(dim)])

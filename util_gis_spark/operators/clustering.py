@@ -38,43 +38,59 @@ def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+class _GridIndex:
+    """Radius-sized grid bins in CSR layout over a sorted packed
+    (cx, cy) key — the shared neighbor engine behind DBSCAN and the
+    parking-cloud detector. `query(idx)` returns all (src_pos,
+    nb_point) pairs within radius for a batch of query points in one
+    vectorized pass (9 searchsorted lookups + one distance mask;
+    src_pos indexes into `idx`, self-pairs included). Key packing is
+    unique while |coord/radius| << 2^31 (planar meters)."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, radius: float):
+        self.x, self.y = x, y
+        self.r2 = radius * radius
+        inv = 1.0 / radius
+        self.cx = np.floor(x * inv).astype(np.int64)
+        self.cy = np.floor(y * inv).astype(np.int64)
+        key = self.cx * _CELL_PACK + self.cy
+        self.order = np.argsort(key, kind="stable")
+        self.uniq_keys, self.starts = np.unique(key[self.order], return_index=True)
+        self.ends = np.append(self.starts[1:], len(x))
+
+    def query(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        srcs, nbs = [], []
+        base_kx = self.cx[idx]
+        base_ky = self.cy[idx]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = (base_kx + dx) * _CELL_PACK + (base_ky + dy)
+                b = np.searchsorted(self.uniq_keys, k)
+                bc = np.minimum(b, len(self.uniq_keys) - 1)
+                vi = np.flatnonzero(self.uniq_keys[bc] == k)
+                if not len(vi):
+                    continue
+                s, e = self.starts[bc[vi]], self.ends[bc[vi]]
+                src = np.repeat(vi, e - s)
+                cand = self.order[_ranges_concat(s, e)]
+                d2 = (self.x[cand] - self.x[idx[src]]) ** 2 + (self.y[cand] - self.y[idx[src]]) ** 2
+                m = d2 <= self.r2
+                srcs.append(src[m])
+                nbs.append(cand[m])
+        if not srcs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return np.concatenate(srcs), np.concatenate(nbs)
+
+
 def grid_neighbor_pairs(
     x: np.ndarray, y: np.ndarray, radius: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """All (i, j) pairs with dist(i, j) <= radius, via radius-sized
-    grid bins (CSR layout over a sorted packed key; one vectorized
-    pass, self-pairs included). The batch form of the per-point
-    3x3-bin probe used by DBSCAN and the parking-cloud detector."""
+    """All (i, j) pairs with dist(i, j) <= radius (src indexes are
+    point indices; self-pairs included)."""
     n = len(x)
     if n == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    inv = 1.0 / radius
-    cx = np.floor(x * inv).astype(np.int64)
-    cy = np.floor(y * inv).astype(np.int64)
-    key = cx * _CELL_PACK + cy
-    order = np.argsort(key, kind="stable")
-    uniq_keys, starts = np.unique(key[order], return_index=True)
-    ends = np.append(starts[1:], n)
-    r2 = radius * radius
-    srcs, nbs = [], []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            k = (cx + dx) * _CELL_PACK + (cy + dy)
-            b = np.searchsorted(uniq_keys, k)
-            bc = np.minimum(b, len(uniq_keys) - 1)
-            vi = np.flatnonzero(uniq_keys[bc] == k)
-            if not len(vi):
-                continue
-            s, e = starts[bc[vi]], ends[bc[vi]]
-            src = np.repeat(vi, e - s)
-            cand = order[_ranges_concat(s, e)]
-            d2 = (x[cand] - x[src]) ** 2 + (y[cand] - y[src]) ** 2
-            m = d2 <= r2
-            srcs.append(src[m])
-            nbs.append(cand[m])
-    if not srcs:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    return np.concatenate(srcs), np.concatenate(nbs)
+    return _GridIndex(x, y, radius).query(np.arange(n, dtype=np.int64))
 
 
 def np_dbscan(xy: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
@@ -94,40 +110,8 @@ def np_dbscan(xy: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
     if n == 0:
         return labels
     x, y = np.ascontiguousarray(xy[:, 0]), np.ascontiguousarray(xy[:, 1])
-    inv = 1.0 / eps
-    cx = np.floor(x * inv).astype(np.int64)
-    cy = np.floor(y * inv).astype(np.int64)
-    key = cx * _CELL_PACK + cy  # unique: |cy/eps| << 2^31 for planar meters
-    order = np.argsort(key, kind="stable")
-    sk = key[order]
-    uniq_keys, starts = np.unique(sk, return_index=True)
-    ends = np.append(starts[1:], n)
-    eps2 = eps * eps
-
-    def neighbors_of(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(src_pos, nb_point) pairs within eps for a batch of points
-        (src_pos indexes into `idx`; self-pairs included)."""
-        srcs, nbs = [], []
-        base_kx = cx[idx]
-        base_ky = cy[idx]
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                k = (base_kx + dx) * _CELL_PACK + (base_ky + dy)
-                b = np.searchsorted(uniq_keys, k)
-                bc = np.minimum(b, len(uniq_keys) - 1)
-                vi = np.flatnonzero(uniq_keys[bc] == k)
-                if not len(vi):
-                    continue
-                s, e = starts[bc[vi]], ends[bc[vi]]
-                src = np.repeat(vi, e - s)
-                cand = order[_ranges_concat(s, e)]
-                d2 = (x[cand] - x[idx[src]]) ** 2 + (y[cand] - y[idx[src]]) ** 2
-                m = d2 <= eps2
-                srcs.append(src[m])
-                nbs.append(cand[m])
-        if not srcs:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-        return np.concatenate(srcs), np.concatenate(nbs)
+    grid = _GridIndex(x, y, eps)
+    neighbors_of = grid.query
 
     # Lazy core detection: each point's neighborhood is computed AT
     # MOST once over the whole run (exactly the sequential algorithm's

@@ -142,14 +142,15 @@ def resize_images(images_df: DataFrame, out_w: int = 32, out_h: int = 32) -> Dat
                 lum = 0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
                 ids.append(row["image_id"])
                 means.append(round(float(lum.mean()), 4))
-            yield pd.DataFrame(
-                {
-                    "image_id": ids,
-                    "out_w": np.int32(out_w),
-                    "out_h": np.int32(out_h),
-                    "mean_lum": means,
-                }
-            )
+            if ids:  # empty frames infer float64 cols, breaking the Arrow cast
+                yield pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "out_w": np.int32(out_w),
+                        "out_h": np.int32(out_h),
+                        "mean_lum": means,
+                    }
+                )
 
     return images_df.select("image_id", "bytes", "w", "h").mapInPandas(run, schema=out_schema)
 

@@ -117,7 +117,7 @@ def filter_parking_by_time_window(df_projected: DataFrame, **kw) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
         mask = np_filter_parking_by_time_window(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )
@@ -178,7 +178,7 @@ def filter_parking_points_by_index(df_projected: DataFrame, **kw) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
         mask = np_filter_parking_points_by_index(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )

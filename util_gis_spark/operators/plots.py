@@ -450,7 +450,7 @@ def _traj_arrays(pdf: pd.DataFrame):
     lat = pdf["lat"].to_numpy(np.float64)
     zone = gauss.unified_zone(float(lon.min()), float(lon.max()))
     x, y, _ = gauss.gauss_forward(lon, lat, zone=zone)
-    ts_s = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+    ts_s = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
     return np.column_stack([x, y]), ts_s, zone
 
 

@@ -113,7 +113,7 @@ def split_time_windows(df: DataFrame, group_cols=("device_id",)) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
+        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000_000
         wid, lab = np_split_time_windows(secs)
         out = pdf.copy()
         out["window_id"] = wid
@@ -175,7 +175,7 @@ def median_smooth_filter(df_projected: DataFrame, group_cols=("device_id",), **k
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
         mask = np_median_smooth(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )
@@ -241,7 +241,7 @@ def kalman_smooth_trajectories(df_projected: DataFrame, group_cols=("device_id",
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("int64").to_numpy() / 1_000_000_000.0
+        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
         xs, ys = np_kalman_smooth(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )

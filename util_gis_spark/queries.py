@@ -615,15 +615,17 @@ def q_embed_topk(spark: SparkSession, sf_dir: str, max_probes: int = 10_000) -> 
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     probes_df = e.filter(F.col("vec_id") % 100 == 0)
-    n_probes = probes_df.count()
-    if n_probes > max_probes:
+    # enforce the cap in the SAME job as the collect (limit(cap+1)
+    # bounds the transfer; a separate count() would scan the probe
+    # side twice)
+    rows = probes_df.limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
         raise ValueError(
-            f"q_embed_topk: {n_probes} probes exceeds max_probes={max_probes}; "
+            f"q_embed_topk: probe set exceeds max_probes={max_probes}; "
             "use the LSH/ANN path for unbounded probe sets"
         )
     probe_rows = sorted(
-        (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
-        for r in probes_df.collect()
+        (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64)) for r in rows
     )
     pid_l = np.array([p[0] for p in probe_rows], dtype=np.int64)
     pm = np.vstack([p[1] for p in probe_rows])

@@ -32,7 +32,9 @@ def gps_point_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: in
     stage = f"/tmp/util_gis_spark_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling symlink from a moved/recreated source
+    if not os.path.lexists(link):
         os.symlink(src, link)
     stream = (
         spark.readStream.schema(batch.schema)
@@ -185,7 +187,9 @@ def document_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int
     stage = f"/tmp/util_gis_spark_docstream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling symlink from a moved/recreated source
+    if not os.path.lexists(link):
         os.symlink(src, link)
     return (
         spark.readStream.schema(batch.schema)
