@@ -270,6 +270,32 @@ def q_gps_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per (device, hour) point
+    count, average speed, and great-circle mileage — the rollup the
+    reference's TDengine source would serve as a downsampled
+    hypertable. Pure window+groupBy (one shuffle each), date_trunc is
+    the time-bucket function in both engines."""
+    pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    w = Window.partitionBy("device_id").orderBy("ts", "point_id")
+    stepped = pts.withColumn("_plon", F.lag("lon").over(w)).withColumn(
+        "_plat", F.lag("lat").over(w)
+    )
+    step = F.when(
+        F.col("_plon").isNotNull(),
+        haversine_m(F.col("_plon"), F.col("_plat"), F.col("lon"), F.col("lat")),
+    ).otherwise(0.0)
+    return (
+        stepped.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("device_id", "hour")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("speed"), 4).alias("avg_speed"),
+            F.round(F.sum(step), 3).alias("mileage_m"),
+        )
+    )
+
+
 def q_protocol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protocol-string fallback parse (TestUtilGis.java:35-68): build
     the reference's `SUBMIT$seq$did$CMD$k:v,k:v` wire format from the
@@ -727,6 +753,7 @@ def catalogue() -> dict:
         "gps_geofence": q_gps_geofence,
         "gps_headings": q_gps_headings,
         "gps_gauss_mileage": q_gps_gauss_mileage,
+        "gps_hourly_rollup": q_gps_hourly_rollup,
         "gps_time_windows": q_gps_time_windows,
         "polygon_time_ranges": q_polygon_time_ranges,
         "polygon_time_ranges_merged": q_polygon_time_ranges_merged,
@@ -942,6 +969,22 @@ FROM (
          least(xmax, {_CLIP_RECT[2]}) AS ix1, least(ymax, {_CLIP_RECT[3]}) AS iy1
   FROM pol
 ) WHERE ix1 > ix0 AND iy1 > iy0
+""",
+        ),
+        "gps_hourly_rollup": _with(
+            pts,
+            f"""
+SELECT device_id, date_trunc('hour', ts) AS hour, count(*) AS n_points,
+       round(avg(speed), 4) AS avg_speed, round(sum(step), 3) AS mileage_m
+FROM (
+  SELECT device_id, ts, speed,
+         CASE WHEN plon IS NULL THEN 0.0
+              ELSE {haversine_sql('plon', 'plat', 'lon', 'lat')} END AS step
+  FROM (SELECT device_id, ts, point_id, lon, lat, speed,
+               lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+        FROM fpts WINDOW w AS (PARTITION BY device_id ORDER BY ts, point_id))
+)
+GROUP BY device_id, date_trunc('hour', ts)
 """,
         ),
         "wkt_4d_array": _with(
