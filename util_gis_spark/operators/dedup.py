@@ -196,14 +196,16 @@ def minhash_near_dup_pairs(
     )
 
 
-def minhash_near_dup_pairs_sql(jaccard_threshold: float = 0.5, shingler: str = "word_pair") -> str:
+def minhash_near_dup_pairs_sql(
+    jaccard_threshold: float = 0.5, shingler: str = "word_pair", src: str = "SELECT * FROM documents"
+) -> str:
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, _shingles, {b} AS band, {band_hash_sql(b)} AS bh FROM sigs"
         for b in range(N_BANDS)
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, {_toks_sql()} AS _toks, text FROM documents
+  SELECT doc_id, {_toks_sql()} AS _toks, text FROM ({src})
 ), sh AS (
   SELECT doc_id, {char3grams_sql() if shingler == "char3" else bigrams_sql()} AS _shingles FROM base
 ), hashed AS (

@@ -621,6 +621,39 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(D.load(spark, sf_dir, "documents"))
 
 
+def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning composite — the pipeline a
+    data-curation user actually runs: (1) quality filter (the
+    token-stats score >= 0.3), (2) exact dedup (keep min doc_id per
+    md5(text)), (3) near-dup removal (MinHash-LSH pairs at Jaccard >=
+    0.5 over the SURVIVING corpus; the larger doc_id of each pair is
+    dropped — the deterministic greedy). Emits surviving (doc_id,
+    n_tokens, quality). Every stage is a shuffle-bounded set operation;
+    nothing is driver-side."""
+    from .operators.dedup import minhash_near_dup_pairs
+
+    d = D.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    stop = F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in", "is", "it"))
+    n_tokens = F.size(toks)
+    punct_n = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 50.0)
+        * (1.0 - punct_n / F.greatest(F.length("text"), F.lit(1)))
+        * (1.0 - F.size(stop) / F.greatest(n_tokens, F.lit(1))),
+        4,
+    )
+    scored = d.select(
+        "doc_id", "text", n_tokens.cast("long").alias("n_tokens"), quality.alias("quality")
+    ).filter(F.col("quality") >= 0.3)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    dup_b = minhash_near_dup_pairs(exact.select("doc_id", "text"), 0.5).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return exact.join(dup_b, "doc_id", "left_anti").select("doc_id", "n_tokens", "quality")
+
+
 # --------------------------------------------------------------- embeddings
 def q_embed_topk(spark: SparkSession, sf_dir: str, max_probes: int = 10_000) -> DataFrame:
     """Brute-force cosine top-5 neighbors for probe vectors
@@ -782,6 +815,7 @@ def catalogue() -> dict:
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_clean_corpus": q_docs_clean_corpus,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "embed_cosine_dups": q_embed_cosine_dups,
         "docs_simhash": q_docs_simhash,
@@ -1096,6 +1130,30 @@ GROUP BY t.device_id
 """,
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
         "docs_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(0.6),
+        "docs_clean_corpus": r"""
+WITH scored AS (
+  SELECT * FROM (
+    SELECT doc_id, text, len(toks) AS n_tokens,
+           round(least(1.0, len(toks)/50.0)
+                 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1))
+                 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) / greatest(len(toks), 1)),
+                 4) AS quality
+    FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+          FROM documents)
+  ) WHERE quality >= 0.3
+), exact AS (
+  SELECT doc_id, text, n_tokens, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rk FROM scored
+  ) WHERE _rk = 1
+), pairs AS (
+"""
+        + dedup.minhash_near_dup_pairs_sql(0.5, src="SELECT doc_id, text FROM exact")
+        + """
+)
+SELECT e.doc_id, e.n_tokens, e.quality
+FROM exact e LEFT JOIN (SELECT DISTINCT doc_b FROM pairs) p ON e.doc_id = p.doc_b
+WHERE p.doc_b IS NULL
+""",
         "embed_cosine_dups": ann_mod.embed_cosine_dups_sql(0.3),
         "docs_simhash": dedup.simhash_docs_sql(),
         "docs_simhash_pairs": dedup.simhash_near_dup_pairs_sql(2),
