@@ -69,11 +69,19 @@ def rasterize_polyline(xy: np.ndarray, pad_m: float, g: float = DEFAULT_GRID_M) 
     seg = np.diff(xy, axis=0)
     seg_len = np.hypot(seg[:, 0], seg[:, 1])
     n_samp = np.maximum((seg_len / (g * 0.5)).astype(np.int64), 1)
-    pts = [xy[:1]]
-    for i, k in enumerate(n_samp):
-        t = np.linspace(0.0, 1.0, k + 1)[1:, None]
-        pts.append(xy[i] + t * seg[i])
-    allp = np.vstack(pts)
+    # all segments sampled in one vectorized pass (bit-identical to the
+    # per-segment linspace it replaces: t = j*(1/k), endpoint pinned
+    # to exactly 1.0 like linspace does)
+    segidx = np.repeat(np.arange(len(seg), dtype=np.int64), n_samp)
+    cnt = n_samp
+    j = np.ones(int(cnt.sum()), dtype=np.int64)
+    cum = np.cumsum(cnt)[:-1]
+    j[0] = 1
+    j[cum] = 1 - cnt[:-1]  # reset the cumsum to 1 at each segment start
+    j = np.cumsum(j)  # 1..k_i per segment
+    t = j * (1.0 / n_samp)[segidx]
+    t[j == n_samp[segidx]] = 1.0
+    allp = np.vstack([xy[:1], xy[segidx] + t[:, None] * seg[segidx]])
     ix = np.clip(((allp[:, 0] - x0) / g).astype(np.int64), 0, nx - 1)
     iy = np.clip(((allp[:, 1] - y0) / g).astype(np.int64), 0, ny - 1)
     mask[iy, ix] = True
