@@ -485,10 +485,56 @@ def pick_res(
     if not envs:
         return 14
     areas = sorted(max((x1 - x0), 1e-12) * max((y1 - y0), 1e-12) for x0, y0, x1, y1 in envs)
-    med = areas[len(areas) // 2]
+    return _res_from_median_area(areas[len(areas) // 2], target_cells_per_poly, lo, hi)
+
+
+def _res_from_median_area(
+    med_area: float, target_cells_per_poly: int = 128, lo: int = 8, hi: int = cells.MAX_RES
+) -> int:
     # cells(r) = area / ((360/2^r)*(180/2^r)) = area * 4^r / 64800
-    r = 0.5 * math.log2(target_cells_per_poly * 64800.0 / med)
+    import math
+
+    r = 0.5 * math.log2(target_cells_per_poly * 64800.0 / max(med_area, 1e-12))
     return int(min(max(round(r), lo), hi))
+
+
+def _envelope_area_col() -> "F.Column":
+    """Envelope area (deg^2) from a `wkt` column, as an Arrow-batched
+    pandas_udf — the distributed twin of the driver-side
+    `geom_envelope` pass in `_collect_polygons`."""
+
+    @F.pandas_udf(T.DoubleType())
+    def env_area(wkts: pd.Series) -> pd.Series:
+        out = np.full(len(wkts), np.nan)
+        for i, w in enumerate(wkts):
+            env = geom_envelope(parse_wkt(w))
+            if env is not None:
+                x0, y0, x1, y1 = env
+                out[i] = max(x1 - x0, 1e-12) * max(y1 - y0, 1e-12)
+        return pd.Series(out)
+
+    return env_area(F.col("wkt"))
+
+
+def pick_res_distributed(
+    polygons_wkt_df: DataFrame,
+    target_cells_per_poly: int = 128,
+    lo: int = 8,
+    hi: int = cells.MAX_RES,
+) -> int:
+    """pick_res without collecting the polygon side: one distributed
+    aggregation computes the approximate median envelope area
+    (percentile_approx), then the same formula applies. Used by the
+    pip_join planner when the polygon layer is too large to collect."""
+    row = (
+        polygons_wkt_df.select(_envelope_area_col().alias("_area"))
+        .agg(F.percentile_approx("_area", 0.5).alias("med"))
+        .first()
+    )
+    med = row["med"]
+    if med is None:
+        return 14
+    return _res_from_median_area(float(med), target_cells_per_poly, lo, hi)
 
 
 def pip_join(
@@ -497,17 +543,45 @@ def pip_join(
     res: int | None = None,
     carry_cols: list[str] | None = None,
     broadcast_threshold_cells: int = 2_000_000,
+    collect_threshold_polys: int = 4096,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
     **kw,
 ) -> DataFrame:
-    """Strategy-selecting PIP join (the thin planner from SURVEY §4):
-    with `res=None` it picks the grid resolution from the polygon
-    envelopes (pick_res — median polygon covers ~128 cells), then
-    estimates the cell-map size (envelope area / cell area, cheap
-    driver-side arithmetic on the collected small side) and picks the
-    broadcast cell map when it fits comfortably in a task broadcast
-    (~16 bytes/cell), else the shuffled cell map. Mirrors the
-    reference's threshold-based dispatch (G:12284-12295) at distributed
-    scale."""
+    """Strategy-selecting PIP join (the thin planner from SURVEY §4).
+
+    Dispatch ladder (mirrors the reference's threshold-based dispatch,
+    G:12284-12295, at distributed scale):
+
+    1. Probe the polygon side with `limit(k+1).count()` — a bounded
+       scan, never a full count of a huge layer. If it exceeds
+       `collect_threshold_polys`, the polygon side NEVER touches the
+       driver: resolution comes from a distributed median-envelope
+       aggregation (`pick_res_distributed`) and the join runs as
+       `pip_join_cells` — classification happens executor-side in
+       `polygon_cells_classified`, the join shuffles on the cell key.
+    2. Small polygon side: collect it (the moral broadcast build side),
+       pick the resolution driver-side, and estimate the cell-map size
+       (envelope area / cell area). Under `broadcast_threshold_cells`
+       (~16 bytes/cell => ~32 MB) the hybrid broadcast flavor wins; a
+       small-count-but-huge-area layer (continent polygons at fine res)
+       instead dispatches to `pip_join_cells` so the cell map is both
+       built AND joined distributed — the r2 planner shuffled the join
+       but still classified in a driver loop, which was its 100x
+       bottleneck."""
+    n_polys = polygons_wkt_df.limit(collect_threshold_polys + 1).count()
+    if n_polys > collect_threshold_polys:
+        if res is None:
+            res = pick_res_distributed(polygons_wkt_df)
+        return pip_join_cells(
+            points_df,
+            polygons_wkt_df,
+            res=res,
+            lon_col=lon_col,
+            lat_col=lat_col,
+            carry_cols=carry_cols,
+            salt_buckets=kw.get("salt_buckets", 0),
+        )
     polys = _collect_polygons(polygons_wkt_df)
     if res is None:
         res = pick_res([env for _pid, _parsed, env in polys])
@@ -516,13 +590,25 @@ def pip_join(
     est_cells = 0.0
     for _pid, _parsed, (x0, y0, x1, y1) in polys:
         est_cells += max((x1 - x0) / cell_w, 1.0) * max((y1 - y0) / cell_h, 1.0)
+    if est_cells > broadcast_threshold_cells:
+        return pip_join_cells(
+            points_df,
+            polygons_wkt_df,
+            res=res,
+            lon_col=lon_col,
+            lat_col=lat_col,
+            carry_cols=carry_cols,
+            salt_buckets=kw.get("salt_buckets", 0),
+        )
     return pip_join_hybrid(
         points_df,
         polygons_wkt_df,
         res=res,
+        lon_col=lon_col,
+        lat_col=lat_col,
         carry_cols=carry_cols,
-        broadcast_cellmap=est_cells <= broadcast_threshold_cells,
-        **kw,
+        broadcast_cellmap=True,
+        **{k: v for k, v in kw.items() if k == "refine"},
     )
 
 
