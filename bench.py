@@ -136,6 +136,30 @@ def main() -> None:
 
     run("split_road", plots, reps=2)
 
+    # --- 10x data-growth ladder (VERDICT r2 'Next round' #7): the same
+    # two spatial jobs at sf1-equivalent image volume (10x rows from the
+    # same deterministic generator — documents/events are driver-
+    # provided and stop at sf0.1, but the image fact table IS the
+    # headline's input). A ~10x time ratio at 10x rows is the linear-
+    # slope evidence for the 100-TB argument; the slope is emitted as
+    # scale_slope_10x per query. Disable with BENCH_SKIP_LADDER=1.
+    if not os.environ.get("BENCH_SKIP_LADDER"):
+        images10 = D.images_range(spark, n_images * 10, cpus * 4)
+        run(
+            "spatial_join_tile_assign_10x",
+            lambda: joins.tile_assignment(
+                joins.pip_join_hybrid(images10, polys, res=18, carry_cols=CARRY), res=16
+            ).groupBy("polygon_id").agg(F.count("*").alias("n")).count(),
+            reps=2,
+        )
+        run(
+            "pip_join_cells_10x",
+            lambda: joins.pip_join_hybrid(
+                images10, polys, res=18, carry_cols=CARRY, broadcast_cellmap=False
+            ).count(),
+            reps=2,
+        )
+
     _emit(sf, cpus, factor, n_images, timings, counts)
 
 
@@ -154,6 +178,11 @@ def _emit(sf, cpus, factor, n_images, timings, counts):
                 "cpus": cpus,
                 "image_factor": factor,
                 "row_counts": counts,
+                "scale_slope_10x": {
+                    q: round(timings[f"{q}_10x"] / timings[q], 2)
+                    for q in ("spatial_join_tile_assign", "pip_join_cells")
+                    if f"{q}_10x" in timings and timings.get(q)
+                },
             }
         )
     )

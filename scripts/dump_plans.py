@@ -106,6 +106,36 @@ def main() -> None:
         )
     )
 
+    # planner auto-dispatch on a LARGE polygon layer (> collect
+    # threshold): the polygon side must never touch the driver
+    big_polys = []
+    step, size = 0.05, 0.02
+    for gy in range(60):
+        for gx in range(70):
+            x0, y0 = gx * step, gy * step
+            x1, y1 = x0 + size, y0 + size
+            big_polys.append(
+                (gy * 70 + gx,
+                 f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+            )
+    big_layer = spark.createDataFrame(big_polys, "polygon_id long, wkt string").repartition(8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    planned = joins.pip_join(imgs, big_layer, res=13, carry_cols=["image_key"])
+    planned_plan = plan_of(planned)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    sections.append(
+        (
+            "Planner: 4,200-polygon layer auto-dispatched to the distributed cells path",
+            "Verify: (1) pip_join detected > collect_threshold_polys via a "
+            "bounded limit-count probe and returned pip_join_cells — NO "
+            "driver-side classification loop; (2) the polygon layer's only "
+            "operators are its scan -> MapInPandas (executor-side cell "
+            "classification) -> Exchange on the cell key; (3) the fact side "
+            "shuffle-joins on cell; (4) refine is the JVM HOF ray cast.",
+            planned_plan,
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)\n\n"

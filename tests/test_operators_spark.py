@@ -414,3 +414,40 @@ class TestBucketedSink:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS t_mh_bands")
             spark.sql("DROP TABLE IF EXISTS t_mh_hashes")
+
+    def test_minhash_incremental_matches_batch(self, spark, sf_dir):
+        """New-shard-vs-corpus dedup through the bucketed stage must
+        find exactly the cross pairs the full batch run finds, without
+        recomputing corpus signatures."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_near_dup_pairs,
+            write_minhash_stage,
+        )
+
+        docs = D.load(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 4 != 0)
+        fresh = docs.filter(F.col("doc_id") % 4 == 0)
+        try:
+            write_minhash_stage(corpus, "t_inc", n_buckets=8)
+            got = {
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in minhash_dedup_incremental(fresh, "t_inc").collect()
+            }
+            # reference: full-batch pairs restricted to one-new-one-corpus,
+            # reoriented to (new, corpus)
+            full = minhash_near_dup_pairs(docs).collect()
+            want = set()
+            for r in full:
+                a_new, b_new = r["doc_a"] % 4 == 0, r["doc_b"] % 4 == 0
+                if a_new and not b_new:
+                    want.add((r["doc_a"], r["doc_b"], r["jaccard"]))
+                elif b_new and not a_new:
+                    want.add((r["doc_b"], r["doc_a"], r["jaccard"]))
+            assert got == want
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_inc_bands")
+            spark.sql("DROP TABLE IF EXISTS t_inc_hashes")

@@ -208,15 +208,25 @@ def minhash_near_dup_pairs(
     return _jaccard_verify(cand, base.select("doc_id", "_hashes"), jaccard_threshold)
 
 
-def _jaccard_verify(cand: DataFrame, hashes: DataFrame, jaccard_threshold: float) -> DataFrame:
+def _jaccard_verify(
+    cand: DataFrame,
+    hashes: DataFrame,
+    jaccard_threshold: float,
+    hashes_b: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-hash Jaccard on (doc_a, doc_b) candidates against a
     (doc_id, _hashes) table; shared by the in-query and the bucketed-
-    stage paths so the verify semantics cannot drift."""
+    stage paths so the verify semantics cannot drift. `hashes_b` lets
+    the two sides come from different tables (incremental dedup: new
+    batch vs corpus stage)."""
     cand = (
         cand.join(
             hashes.select(F.col("doc_id").alias("doc_a"), F.col("_hashes").alias("sa")), "doc_a"
         ).join(
-            hashes.select(F.col("doc_id").alias("doc_b"), F.col("_hashes").alias("sb")), "doc_b"
+            (hashes if hashes_b is None else hashes_b).select(
+                F.col("doc_id").alias("doc_b"), F.col("_hashes").alias("sb")
+            ),
+            "doc_b",
         )
     )
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -281,6 +291,49 @@ def minhash_pairs_from_stage(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return _jaccard_verify(cand, spark.table(f"{prefix}_hashes"), jaccard_threshold)
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    prefix: str,
+    jaccard_threshold: float = 0.5,
+    shingler: str = "word_pair",
+) -> DataFrame:
+    """Dedup an ARRIVING batch against an existing corpus stage — the
+    normal warehouse cadence (new shard lands, check it against the
+    10^12-doc corpus) — WITHOUT recomputing any corpus signature:
+    only the new batch runs the signature kernel; its bands join the
+    pre-bucketed `{prefix}_bands` table (the corpus side reads its
+    buckets with no Exchange); the verify re-attaches new-side hashes
+    from the fresh kernel and corpus-side hashes from
+    `{prefix}_hashes`. Returns (doc_a = new batch id, doc_b = corpus
+    id, jaccard). Assumes disjoint id spaces (rows with doc_a == doc_b
+    are dropped as self-matches of re-ingested docs)."""
+    from pyspark import StorageLevel
+
+    spark = new_docs.sparkSession
+    base = _sig_kernel(new_docs, shingler=shingler).persist(StorageLevel.MEMORY_AND_DISK)
+    new_bands = base.select(
+        "doc_id", F.explode(F.expr(band_table_expr())).alias("_b")
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        F.concat_ws(":", F.col("_b.band").cast("string"), F.col("_b.bh")).alias("bkey"),
+    )
+    corpus_bands = spark.table(f"{prefix}_bands").select(
+        F.col("doc_id").alias("doc_b"), "bkey"
+    )
+    cand = (
+        new_bands.join(corpus_bands, "bkey")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _jaccard_verify(
+        cand,
+        base.select("doc_id", "_hashes"),
+        jaccard_threshold,
+        hashes_b=spark.table(f"{prefix}_hashes"),
+    )
 
 
 def minhash_near_dup_pairs_sql(
