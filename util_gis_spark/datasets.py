@@ -154,10 +154,19 @@ def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "events")
-    dev = (F.col("user_id") % 10).alias("device_id")
-    w = W.partitionBy(dev).orderBy("ts", "event_id")
+    # materialize device_id BEFORE the window and partition the window
+    # on the attribute (not the raw expression): downstream
+    # groupBy("device_id") operators (the plot composites) then reuse
+    # this hash partitioning and Catalyst elides their Exchange —
+    # one shuffle for window + grouped-map instead of two.
+    pre = e.select(
+        (F.col("user_id") % 10).alias("device_id"),
+        F.col("event_id").alias("point_id"),
+        "ts",
+    )
+    w = W.partitionBy("device_id").orderBy("ts", "point_id")
     seq = (F.row_number().over(w) - 1).alias("seq")
-    base = e.select(dev, F.col("event_id").alias("point_id"), seq)
+    base = pre.select("device_id", "point_id", seq)
     row = F.floor(F.col("seq") / 34)
     col = F.col("seq") % 34
     col_serp = F.when(row % 2 == 1, 33 - col).otherwise(col)
