@@ -22,31 +22,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 8
+N_PLANES = 6   # bits per table
+N_TABLES = 8   # OR-ed hash tables
+
+# Multi-table design note (r3): a single b-bit random-hyperplane table
+# needs ALL b signs to agree, so for moderate-angle neighbors recall is
+# (1-theta/pi)^b ~ 0 (measured 0.00 recall@1 on the sf0.01 corpus with
+# one 8-bit table, scripts/ann_recall.py). Standard LSH uses L
+# independent tables and ORs the candidate sets: collision prob
+# 1-(1-p^b)^L. 8 tables x 6 bits lifts recall@1 to ~1.0 on the same
+# corpus while candidates/probe stays ~L*N/2^b (bits is the scale
+# dial: grow b with log N, L with the recall target).
 
 
-def _plane_term(j: int) -> str:
-    """plane(j, d) = ((j*131 + d) * 2654435761 % 2000)/1000 - 1.0, d 0-based."""
-    return f"((({j}*131 + d) * 2654435761) % 2000) / 1000.0 - 1.0"
+def _plane_term(j: int, d_expr: str = "d", t_expr: str = "t") -> str:
+    """plane(t, j, d) = (((t*977 + j)*131 + d) * 2654435761 % 2000)/1000 - 1.0.
+    `t_expr` may be a literal or a COLUMN — both engines evaluate the
+    same arithmetic, so the planes are engine-independent."""
+    return f"(((({t_expr}*977 + {j})*131 + {d_expr}) * 2654435761) % 2000) / 1000.0 - 1.0"
 
 
-def bucket_expr(v_col: str = "v") -> str:
-    """Spark SQL expression: LSH bucket id of an array<double> column."""
+def bucket_expr(v_col: str = "v", t_expr: str = "t") -> str:
+    """Spark SQL expression: LSH bucket id of an array<double> column
+    under hash table `t_expr` (0-based element index d)."""
     bits = []
     for j in range(N_PLANES):
         dot = (
-            f"aggregate(transform({v_col}, (x, d) -> x * ({_plane_term(j)})), "
+            f"aggregate(transform({v_col}, (x, d) -> x * ({_plane_term(j, 'd', t_expr)})), "
             f"cast(0.0 as double), (a, x) -> a + x)"
         )
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(bits)
 
 
-def bucket_sql(v_col: str = "v") -> str:
+def bucket_sql(v_col: str = "v", t_expr: str = "t") -> str:
     """DuckDB twin (1-based list index -> d = i-1)."""
     bits = []
     for j in range(N_PLANES):
-        term = f"((({j}*131 + (i-1)) * 2654435761) % 2000) / 1000.0 - 1.0"
+        term = _plane_term(j, "(i-1)", t_expr)
         dot = (
             f"list_aggregate(list_transform(generate_series(1, len({v_col})), "
             f"i -> {v_col}[i] * ({term})), 'sum')"
@@ -70,20 +83,27 @@ def ann_lsh_topk(
     probe_filter: str = "vec_id % 100 = 0",
     k: int = 3,
 ) -> DataFrame:
-    """Top-k cosine neighbors per probe WITHIN its LSH bucket.
-    Output (probe_id, neighbor_id, cos_sim, bucket)."""
-    e = embeddings_df.select(
+    """Top-k cosine neighbors per probe among candidates colliding in
+    ANY of the N_TABLES LSH tables. Output (probe_id, neighbor_id,
+    cos_sim)."""
+    base = embeddings_df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
-    probes = e.filter(probe_filter).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "bucket"
     )
-    joined = probes.join(e, "bucket").filter(F.col("probe_id") != F.col("vec_id"))
+    e = base.withColumn("t", F.explode(F.expr(f"sequence(0, {N_TABLES - 1})"))).withColumn(
+        "bucket", F.expr(bucket_expr("v")).cast("long")
+    )
+    probes = e.filter(probe_filter).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "t", "bucket"
+    )
+    joined = (
+        probes.join(e, ["t", "bucket"])
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
     scored = joined.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(_cos_expr("pv", "v"), 5).alias("cos_sim"),
-        "bucket",
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
@@ -187,12 +207,18 @@ def embed_cosine_dups(embeddings_df: DataFrame, threshold: float = 0.3) -> DataF
     scales with `bits`), exact cosine verify at `threshold`. Output
     (vec_a, vec_b, cos_sim), vec_a < vec_b. The dedup-flavored twin of
     ann_lsh_topk (pairs above a similarity bar instead of top-k)."""
-    e = embeddings_df.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
-    left = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    right = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
-    cand = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    e = (
+        embeddings_df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("t", F.explode(F.expr(f"sequence(0, {N_TABLES - 1})")))
+        .withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
+    )
+    left = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "t", "bucket")
+    right = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "t", "bucket")
+    cand = (
+        left.join(right, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     scored = cand.select(
         "vec_a", "vec_b", F.round(_cos_expr("va", "vb"), 5).alias("cos_sim")
     )
@@ -203,16 +229,21 @@ def embed_cosine_dups_sql(threshold: float = 0.3) -> str:
     return f"""
 WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), tables AS (
+  SELECT unnest(generate_series(0, {N_TABLES - 1})) AS t
 ), e AS (
-  SELECT vec_id, v, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0
+  SELECT vec_id, v, t, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0 CROSS JOIN tables
+), cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b, l.v AS va, r.v AS vb
+  FROM e l JOIN e r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 ), scored AS (
-  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+  SELECT vec_a, vec_b,
          round(
-           list_aggregate(list_transform(list_zip(l.v, r.v), t -> t[1] * t[2]), 'sum')
-           / (sqrt(list_aggregate(list_transform(l.v, x -> x*x), 'sum'))
-              * sqrt(list_aggregate(list_transform(r.v, x -> x*x), 'sum'))),
+           list_aggregate(list_transform(list_zip(va, vb), p -> p[1] * p[2]), 'sum')
+           / (sqrt(list_aggregate(list_transform(va, x -> x*x), 'sum'))
+              * sqrt(list_aggregate(list_transform(vb, x -> x*x), 'sum'))),
            5) AS cos_sim
-  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  FROM cand
 )
 SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
 """
@@ -222,20 +253,25 @@ def ann_lsh_topk_sql(probe_filter: str = "vec_id % 100 = 0", k: int = 3) -> str:
     return f"""
 WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), tables AS (
+  SELECT unnest(generate_series(0, {N_TABLES - 1})) AS t
 ), e AS (
-  SELECT vec_id, v, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0
+  SELECT vec_id, v, t, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0 CROSS JOIN tables
 ), probes AS (
-  SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE {probe_filter}
+  SELECT vec_id AS probe_id, v AS pv, t, bucket FROM e WHERE {probe_filter}
+), cand AS (
+  SELECT DISTINCT p.probe_id, e.vec_id AS neighbor_id, p.pv, e.v
+  FROM probes p JOIN e ON p.t = e.t AND p.bucket = e.bucket AND p.probe_id <> e.vec_id
 ), scored AS (
-  SELECT p.probe_id, e.vec_id AS neighbor_id, p.bucket,
+  SELECT probe_id, neighbor_id,
          round(
-           list_aggregate(list_transform(list_zip(p.pv, e.v), t -> t[1] * t[2]), 'sum')
-           / (sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))
-              * sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))),
+           list_aggregate(list_transform(list_zip(pv, v), p -> p[1] * p[2]), 'sum')
+           / (sqrt(list_aggregate(list_transform(pv, x -> x*x), 'sum'))
+              * sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum'))),
            5) AS cos_sim
-  FROM probes p JOIN e ON p.bucket = e.bucket AND p.probe_id <> e.vec_id
+  FROM cand
 )
-SELECT probe_id, neighbor_id, cos_sim, bucket FROM (
+SELECT probe_id, neighbor_id, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS _rk
   FROM scored
 ) WHERE _rk <= {k}
