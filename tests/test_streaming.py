@@ -105,3 +105,87 @@ def test_streaming_simhash_dups_match_batch(spark, sf_dir):
     assert got == want
     for r in spark.table("t_simdup").collect():
         assert r["hamming"] <= 2 and r["doc_a"] < r["doc_b"]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data rule, as actually guaranteed: a late row arriving
+    while its window state is still live is MERGED (Spark evicts on
+    watermark, it does not hard-filter), but once the watermark has
+    EVICTED the window, a later replay is dropped and the closed
+    window is never resurrected in append output. Watermark mechanics
+    need TWO batches after the on-time rows: the tail batch advances
+    the watermark past the window end, the NEXT batch performs the
+    eviction+emission, and only then is a replay dropped. File order:
+    on-time rows -> tail (advances wm) -> tail2 (evicts + emits) ->
+    replay into the closed window (must be dropped)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    on_time = pd.DataFrame(
+        {
+            "device_id": [1, 1, 1],
+            "ts": [base + dt.timedelta(minutes=m) for m in (0, 1, 2)],
+            "lon": [116.0] * 3,
+            "lat": [39.5] * 3,
+        }
+    )
+    tail = pd.DataFrame(
+        {"device_id": [1], "ts": [base + dt.timedelta(minutes=10)], "lon": [116.0], "lat": [39.5]}
+    )
+    tail2 = pd.DataFrame(
+        {
+            "device_id": [1],
+            "ts": [base + dt.timedelta(minutes=10, seconds=30)],
+            "lon": [116.0],
+            "lat": [39.5],
+        }
+    )
+    late = pd.DataFrame(
+        {"device_id": [1], "ts": [base + dt.timedelta(minutes=1)], "lon": [116.0], "lat": [39.5]}
+    )
+    t0 = time.time() - 100
+    for i, (name, df) in enumerate(
+        (
+            ("00.parquet", on_time),
+            ("01.parquet", tail),
+            ("02.parquet", tail2),
+            ("03.parquet", late),
+        )
+    ):
+        df.assign(ts=df["ts"].astype("datetime64[us]")).to_parquet(
+            src / name, coerce_timestamps="us"
+        )
+        # FileStreamSource orders micro-batches by modification time
+        os.utime(src / name, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("device_id long, ts timestamp, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = S.tile_count_stream(stream, res=14, watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_late").collect()
+    # the first 5-min window closed with its 3 on-time rows when the
+    # tail row advanced the watermark to 8 min; the replayed row was
+    # dropped post-eviction and did not resurrect the window
+    assert [(r["window_start"], r["n"]) for r in rows] == [(base, 3)]
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped == 1
