@@ -136,6 +136,19 @@ def main() -> None:
 
     run("split_road", plots, reps=2)
 
+    # --- same composite at realistic group cardinality: 320 devices
+    # (vs the oracle fixture's 10) — grouped-map parallelism must track
+    # the group count, since one device = one task is the unit of
+    # parallelism at warehouse scale
+    def plots_many():
+        from util_gis_spark.operators.plots import split_road
+
+        return split_road(
+            D.field_trajectories_many(spark, sf_dir, n_devices=320), working_width=3.0
+        ).count()
+
+    run("split_road_320dev", plots_many, reps=2)
+
     # --- 10x data-growth ladder (VERDICT r2 'Next round' #7): the same
     # two spatial jobs at sf1-equivalent image volume (10x rows from the
     # same deterministic generator — documents/events are driver-

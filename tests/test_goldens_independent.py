@@ -55,6 +55,24 @@ class TestFlagshipPinsAreIndependentlyValid:
         assert any("end_ts" in e for e in errs)
 
 
+class TestDriverContract:
+    def test_every_query_has_an_oracle(self):
+        """The driver gate compares queries() vs oracle_sql(): every
+        catalogue key must carry an oracle (real twin or golden pin),
+        and the golden generator's target list must stay a subset of
+        the catalogue."""
+        import __spark_entry__ as E
+        from make_goldens import TARGETS
+
+        qs = E.queries()
+        os_ = E.oracle_sql()
+        assert set(qs) == set(os_)
+        assert set(TARGETS) <= set(qs)
+        # the r2 driver snapshot truncated at 50 rows: the kNN ladder's
+        # query must sit inside the first 50 catalogue positions
+        assert list(qs).index("images_knn_points") < 50
+
+
 class TestAnalyticArea:
     def test_full_rows_only(self):
         # 68 points = exactly 2 rows: block 102 m x (3+3) m, no strip

@@ -181,6 +181,40 @@ def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def field_trajectories_many(
+    spark: SparkSession, sf_dir: str, n_devices: int = 320, grid_cols: int = 32
+) -> DataFrame:
+    """field_trajectories at realistic GROUP CARDINALITY: same
+    serpentine rule but user_id spread over `n_devices` machines on a
+    `grid_cols`-wide field grid. The 10-device default above is pinned
+    by oracles; this bench-only variant exists to show the grouped-map
+    composites (split_road / get_farm_plot) parallelize with device
+    count — at warehouse scale there are millions of devices, and the
+    per-device kernel is the unit of parallelism."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    pre = e.select(
+        (F.col("user_id") % n_devices).alias("device_id"),
+        F.col("event_id").alias("point_id"),
+        "ts",
+    )
+    w = W.partitionBy("device_id").orderBy("ts", "point_id")
+    base = pre.select("device_id", "point_id", (F.row_number().over(w) - 1).alias("seq"))
+    row = F.floor(F.col("seq") / 34)
+    col = F.col("seq") % 34
+    col_serp = F.when(row % 2 == 1, 33 - col).otherwise(col)
+    x_m = col_serp * 3.0 + (F.col("device_id") % grid_cols) * 600.0
+    y_m = row * 3.0 + F.floor(F.col("device_id") / grid_cols) * 600.0
+    return base.select(
+        "device_id",
+        "point_id",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,seq)").alias("ts"),
+        (116.0 + x_m / 85690.0).alias("lon"),
+        (39.5 + y_m / 111195.0).alias("lat"),
+    )
+
+
 FIELD_TRAJ_SQL = """
 SELECT device_id, point_id,
        TIMESTAMP '2024-01-01 00:00:00' + to_seconds(seq) AS ts,

@@ -310,7 +310,9 @@ def resolve_conflicts_agg(
         base["mu"] = [r[2] for r in rows]
         return pd.DataFrame(base)
 
-    return df.groupBy(*group_cols).applyInPandas(run, schema=out_schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, group_cols, run, out_schema)
 
 
 # ---------------------------------------------------------- Spark layer
@@ -348,4 +350,6 @@ def merge_wkts_agg(df: DataFrame, group_cols: list[str], wkt_col: str = "wkt") -
         row["mu"] = [mu]
         return pd.DataFrame(row)
 
-    return df.groupBy(*group_cols).applyInPandas(run, schema=out_schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, group_cols, run, out_schema)

@@ -123,7 +123,9 @@ def filter_parking_by_time_window(df_projected: DataFrame, **kw) -> DataFrame:
         )
         return pdf.loc[mask]
 
-    return df_projected.groupBy("device_id").applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, ["device_id"], run, schema)
 
 
 def np_filter_parking_points_by_index(
@@ -184,7 +186,9 @@ def filter_parking_points_by_index(df_projected: DataFrame, **kw) -> DataFrame:
         )
         return pdf.loc[mask]
 
-    return df_projected.groupBy("device_id").applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, ["device_id"], run, schema)
 
 
 def np_split_time_overlaps(ranges: list[tuple[float, float]]) -> list[tuple[float, float]]:

@@ -463,7 +463,9 @@ def get_farm_plot(points_df: DataFrame, working_width: float) -> DataFrame:
         plots = build_farm_plot(xy, ts_s, zone, working_width)
         return _plots_to_pdf(key[0], plots)
 
-    return points_df.groupBy("device_id").applyInPandas(run, schema=PLOT_SCHEMA)
+    from .grouped import grouped_apply
+
+    return grouped_apply(points_df, ["device_id"], run, PLOT_SCHEMA)
 
 
 def split_road(points_df: DataFrame, working_width: float, **kw) -> DataFrame:
@@ -474,4 +476,6 @@ def split_road(points_df: DataFrame, working_width: float, **kw) -> DataFrame:
         plots = build_split_road_plots(xy, ts_s, zone, working_width, **kw)
         return _plots_to_pdf(key[0], plots)
 
-    return points_df.groupBy("device_id").applyInPandas(run, schema=PLOT_SCHEMA)
+    from .grouped import grouped_apply
+
+    return grouped_apply(points_df, ["device_id"], run, PLOT_SCHEMA)

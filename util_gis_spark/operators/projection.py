@@ -46,7 +46,9 @@ def project_trajectories(df: DataFrame, group_cols: Iterable[str] = ("device_id"
         out["zone"] = np.int32(zone)
         return out
 
-    return df.groupBy(*group_cols).applyInPandas(project, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, group_cols, project, schema)
 
 
 def project_trajectories_sql(src: str) -> str:

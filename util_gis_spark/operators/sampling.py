@@ -156,7 +156,9 @@ def simplify_by_angle(df_projected: DataFrame, group_cols=("device_id",)) -> Dat
         mask = np_simplify_by_angle(pdf[["x", "y"]].to_numpy(np.float64))
         return pdf.loc[mask]
 
-    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)
 
 
 def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
@@ -167,4 +169,6 @@ def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -
         mask = np_fast_distance_sampling(pdf[["x", "y"]].to_numpy(np.float64))
         return pdf.loc[mask]
 
-    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)

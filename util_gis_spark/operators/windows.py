@@ -120,7 +120,9 @@ def split_time_windows(df: DataFrame, group_cols=("device_id",)) -> DataFrame:
         out["window_interval_s"] = lab
         return out
 
-    return df.groupBy(*group_cols).applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, group_cols, run, schema)
 
 
 # ------------------------------------------------------------- smoothing
@@ -181,7 +183,9 @@ def median_smooth_filter(df_projected: DataFrame, group_cols=("device_id",), **k
         )
         return pdf.loc[mask]
 
-    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)
 
 
 # ------------------------------------------------------------- kalman
@@ -250,7 +254,9 @@ def kalman_smooth_trajectories(df_projected: DataFrame, group_cols=("device_id",
         out["y_smooth"] = ys
         return out
 
-    return df_projected.groupBy(*group_cols).applyInPandas(run, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)
 
 
 # --------------------------------------------------------- time overlaps

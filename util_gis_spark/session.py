@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES with a 1 MB partition floor, which
+        # collapses the small-but-CPU-heavy shuffles feeding the
+        # per-trajectory Python kernels to 1-4 partitions (measured:
+        # split_road ran 320 x 31 ms numpy kernels on 3 workers,
+        # loadavg < 1). Lowering the floor lets parallelismFirst size
+        # partitions to the cluster's parallelism; at real data sizes
+        # bytes/parallelism >> 64 KB so join behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
