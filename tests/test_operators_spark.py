@@ -256,6 +256,61 @@ class TestResPlanner:
                  for r in joins.pip_join(imgs, polys, res=16, carry_cols=["image_key"]).collect()}
         assert auto == fixed
 
+    def test_knn_grid_kernel_equals_dense_kernel(self, spark, sf_dir):
+        """knn_join_grid (broadcast grid index + in-kernel escalation +
+        exact fallback) must reproduce knn_join_broadcast's full-matrix
+        result EXACTLY: same nearest ids, same distances, same
+        (dist, cand_id) tie-breaks."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators import filters, joins
+
+        imgs = D.images(spark, sf_dir).select(
+            F.col("image_key").alias("probe_id"), "lon", "lat"
+        )
+        cands = [
+            (int(r["point_id"]), float(r["lon"]), float(r["lat"]))
+            for r in filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+            .select("point_id", "lon", "lat")
+            .collect()
+        ]
+        dense = {
+            (r["probe_id"], r["nearest_id"], round(r["dist_m"], 6))
+            for r in joins.knn_join_broadcast(imgs, cands, probe_id_col="probe_id").collect()
+        }
+        grid = {
+            (r["probe_id"], r["nearest_id"], round(r["dist_m"], 6))
+            for r in joins.knn_join_grid(imgs, cands, probe_id_col="probe_id").collect()
+        }
+        assert grid == dense and len(grid) > 0
+
+    def test_knn_planner_dispatch(self, spark, sf_dir):
+        """knn_join picks dense for tiny candidate sets, grid for
+        mid-size, and returns an empty typed frame for empty sides."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators import filters, joins
+
+        imgs = D.images(spark, sf_dir).select(
+            F.col("image_key").alias("probe_id"), "lon", "lat"
+        )
+        cdf = filters.filter_wgs84_points(D.gps_points(spark, sf_dir)).select(
+            F.col("point_id").alias("cand_id"), "lon", "lat"
+        )
+        via_planner = {
+            (r["probe_id"], r["nearest_id"]) for r in joins.knn_join(imgs, cdf).collect()
+        }
+        cands = [(int(r["cand_id"]), float(r["lon"]), float(r["lat"])) for r in cdf.collect()]
+        want = {
+            (r["probe_id"], r["nearest_id"])
+            for r in joins.knn_join_broadcast(imgs, cands, probe_id_col="probe_id").collect()
+        }
+        assert via_planner == want
+        empty = joins.knn_join(imgs, cdf.filter("cand_id < 0"))
+        assert empty.count() == 0 and set(empty.columns) == {"probe_id", "nearest_id", "dist_m"}
+
     def test_overlapping_collection_parts_union_semantics(self, spark):
         """VERDICT r2 'Next round' #5: a GEOMETRYCOLLECTION with two
         OVERLAPPING squares must behave as their union in every join

@@ -627,6 +627,226 @@ def pip_join(
     )
 
 
+def _cand_grid_index(candidates: list[tuple]):
+    """Build the broadcastable grid index over a candidate list:
+    candidates sorted by id, bucketed into a local ~1-per-cell grid
+    over their bbox (CSR layout: order + offsets). The executor-side
+    analogue of the reference's STRtree build (G:3184-3416)."""
+    import numpy as np
+
+    cand = sorted(candidates)
+    cid = np.array([c[0] for c in cand], dtype=np.int64)
+    clon = np.array([c[1] for c in cand], dtype=np.float64)
+    clat = np.array([c[2] for c in cand], dtype=np.float64)
+    dims = max(int(np.sqrt(len(cand))), 1)
+    x0, x1 = float(clon.min()), float(clon.max())
+    y0, y1 = float(clat.min()), float(clat.max())
+    w = max((x1 - x0) / dims, 1e-9)
+    h = max((y1 - y0) / dims, 1e-9)
+    gx = np.clip(((clon - x0) / w).astype(np.int64), 0, dims - 1)
+    gy = np.clip(((clat - y0) / h).astype(np.int64), 0, dims - 1)
+    flat = gx * dims + gy
+    order = np.argsort(flat, kind="stable")
+    starts = np.searchsorted(flat[order], np.arange(dims * dims + 1))
+    return {
+        "cid": cid, "clon": clon, "clat": clat,
+        "order": order.astype(np.int64), "starts": starts.astype(np.int64),
+        "dims": dims, "x0": x0, "y0": y0, "w": w, "h": h,
+    }
+
+
+def _grid_nearest_batch(plon, plat, idx, level: int):
+    """Vectorized ring lookup at `level` (cells grow 2x per level):
+    for each probe, gather candidates in its 3x3 ring of the (possibly
+    coarsened) grid, take the (dist, cand_id)-min, and ACCEPT it only
+    when it provably beats anything outside the ring (same
+    conservative worst-case-latitude guard as knn_join_cells).
+    Returns (nearest_pos or -1, dist, accepted mask)."""
+    import numpy as np
+
+    from ..geo.sphere import np_haversine
+
+    dims0 = idx["dims"]
+    scale = 1 << level
+    dims = max(dims0 // scale, 1)
+    w, h = idx["w"] * (dims0 / dims), idx["h"] * (dims0 / dims)
+    npr = len(plon)
+    gx = np.floor((plon - idx["x0"]) / w).astype(np.int64)
+    gy = np.floor((plat - idx["y0"]) / h).astype(np.int64)
+
+    # gather 3x3 ring member COUNTS per probe (CSR over the fine grid:
+    # a coarse cell at `level` covers a contiguous gx range only if
+    # re-bucketed; instead re-bucket candidates per level cheaply)
+    clon, clat, cid = idx["clon"], idx["clat"], idx["cid"]
+    cgx = np.clip(((clon - idx["x0"]) / w).astype(np.int64), 0, dims - 1)
+    cgy = np.clip(((clat - idx["y0"]) / h).astype(np.int64), 0, dims - 1)
+    cflat = cgx * dims + cgy
+    corder = np.argsort(cflat, kind="stable")
+    cstarts = np.searchsorted(cflat[corder], np.arange(dims * dims + 1))
+
+    from .clustering import _ranges_concat
+
+    seg_parts, gather_parts = [], []
+    for dx in (-1, 0, 1):
+        jx = gx + dx
+        for dy in (-1, 0, 1):
+            jy = gy + dy
+            ok = (jx >= 0) & (jx < dims) & (jy >= 0) & (jy < dims)
+            cell = np.where(ok, jx * dims + jy, 0)
+            cnt = np.where(ok, cstarts[cell + 1] - cstarts[cell], 0)
+            nz = np.flatnonzero(cnt > 0)
+            if not len(nz):
+                continue
+            starts_i = cstarts[cell[nz]]
+            gather_parts.append(corder[_ranges_concat(starts_i, starts_i + cnt[nz])])
+            seg_parts.append(np.repeat(nz, cnt[nz]))
+
+    nearest = np.full(npr, -1, dtype=np.int64)
+    dist = np.full(npr, np.inf)
+    if gather_parts:
+        seg = np.concatenate(seg_parts)
+        gather = np.concatenate(gather_parts)
+        d = np_haversine(plon[seg], plat[seg], clon[gather], clat[gather])
+        # (dist, cand_id)-lexicographic min per probe segment
+        order2 = np.lexsort((cid[gather], d, seg))
+        seg_sorted = seg[order2]
+        first = np.unique(seg_sorted, return_index=True)[1]
+        probes_with = seg_sorted[first]
+        nearest[probes_with] = gather[order2][first]
+        dist[probes_with] = d[order2][first]
+
+    # guard: strict lower bound on distance to anything OUTSIDE the ring
+    m_per_deg = 111319.49079327358
+    left = idx["x0"] + (gx - 1) * w
+    right = idx["x0"] + (gx + 2) * w
+    bot = idx["y0"] + (gy - 1) * h
+    top = idx["y0"] + (gy + 2) * h
+    dx_deg = np.minimum(plon - left, right - plon)
+    dy_deg = np.minimum(plat - bot, top - plat)
+    worst_lat = np.minimum(np.abs(plat) + np.abs(top - bot), 90.0)
+    guard = 0.999 * np.minimum(
+        dy_deg * m_per_deg,
+        dx_deg * m_per_deg * np.maximum(np.cos(np.radians(worst_lat)), 0.0),
+    )
+    accepted = (nearest >= 0) & (dist < guard)
+    return nearest, dist, accepted
+
+
+def knn_join_grid(
+    probes_df: DataFrame,
+    candidates: list[tuple],
+    probe_id_col: str = "probe_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_dist_m: float | None = None,
+) -> DataFrame:
+    """Nearest-candidate join via a BROADCAST GRID INDEX — the
+    executor-side STRtree analogue for mid-size candidate sets (10^3 -
+    10^6), where knn_join_broadcast's full P x C matrix is too much
+    work and knn_join_cells' shuffle ladder is overkill. Per Arrow
+    batch: ring lookup on a ~1-candidate-per-cell grid, conservative
+    accept guard, in-kernel escalation to 2x coarser rings, and a
+    final exact brute-force pass for the (few) still-unaccepted
+    probes. Output rows are EXACTLY knn_join_broadcast's (same
+    distance, same (dist, cand_id) tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    idx = _cand_grid_index(candidates)
+    spark = probes_df.sparkSession
+    bidx = spark.sparkContext.broadcast(idx)
+
+    schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("nearest_id", T.LongType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+    max_levels = max(int(np.ceil(np.log2(max(idx["dims"], 2)))), 1)
+
+    def nearest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..geo.sphere import np_haversine
+
+        ix = bidx.value
+        cid, clon, clat = ix["cid"], ix["clon"], ix["clat"]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            plon = pdf[lon_col].to_numpy(np.float64)
+            plat = pdf[lat_col].to_numpy(np.float64)
+            n = len(pdf)
+            out_id = np.empty(n, dtype=np.int64)
+            out_d = np.empty(n)
+            todo = np.arange(n)
+            for level in range(max_levels):
+                nr, dd, acc = _grid_nearest_batch(plon[todo], plat[todo], ix, level)
+                hit = todo[acc]
+                out_id[hit] = cid[nr[acc]]
+                out_d[hit] = dd[acc]
+                todo = todo[~acc]
+                if not len(todo):
+                    break
+            if len(todo):
+                # exact fallback: blocked brute force for the leftovers
+                for s in range(0, len(todo), 4096):
+                    blk = todo[s : s + 4096]
+                    d = np_haversine(
+                        plon[blk][:, None], plat[blk][:, None], clon[None, :], clat[None, :]
+                    )
+                    j = np.argmin(d, axis=1)
+                    out_id[blk] = cid[j]
+                    out_d[blk] = d[np.arange(len(blk)), j]
+            out = pd.DataFrame(
+                {
+                    "probe_id": pdf[probe_id_col].to_numpy(np.int64),
+                    "nearest_id": out_id,
+                    "dist_m": out_d,
+                }
+            )
+            if max_dist_m is not None:
+                out = out[out["dist_m"] <= max_dist_m]
+            yield out
+
+    return probes_df.select(probe_id_col, lon_col, lat_col).mapInPandas(nearest, schema=schema)
+
+
+def knn_join(
+    probes_df: DataFrame,
+    candidates_df: DataFrame,
+    probe_id_col: str = "probe_id",
+    cand_id_col: str = "cand_id",
+    max_broadcast_candidates: int = 2_000_000,
+    dense_threshold: int = 256,
+    res: int = 14,
+) -> DataFrame:
+    """Strategy-selecting kNN join: probe the candidate side with a
+    bounded limit-count; tiny sets take the dense matrix kernel
+    (knn_join_broadcast), anything that still fits a task broadcast
+    takes the grid-index kernel (knn_join_grid), larger sets go to the
+    shuffled cell ladder (knn_join_cells). The broadcast flavors beat
+    the ladder by orders of magnitude at skewed probe:candidate ratios
+    (measured: 2M probes x 12.7k candidates did not finish one ladder
+    rep in 10 min; the grid kernel does it in seconds)."""
+    n_cand = candidates_df.limit(max_broadcast_candidates + 1).count()
+    if n_cand == 0:
+        spark = probes_df.sparkSession
+        return spark.createDataFrame(
+            [], "probe_id long, nearest_id long, dist_m double"
+        )
+    if n_cand <= max_broadcast_candidates:
+        cands = [
+            (int(r[cand_id_col]), float(r["lon"]), float(r["lat"]))
+            for r in candidates_df.select(cand_id_col, "lon", "lat").collect()
+        ]
+        if n_cand <= dense_threshold:
+            return knn_join_broadcast(probes_df, cands, probe_id_col=probe_id_col)
+        return knn_join_grid(probes_df, cands, probe_id_col=probe_id_col)
+    return knn_join_cells(
+        probes_df, candidates_df, res=res, probe_id_col=probe_id_col, cand_id_col=cand_id_col
+    )
+
+
 def knn_join_cells(
     probes_df: DataFrame,
     candidates_df: DataFrame,
