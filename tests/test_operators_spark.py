@@ -506,3 +506,32 @@ class TestBucketedSink:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_inc_bands")
             spark.sql("DROP TABLE IF EXISTS t_inc_hashes")
+
+
+class TestBlockedTopK:
+    def test_blocked_equals_single_broadcast(self, spark, sf_dir):
+        """embed_topk_blocked (per-block broadcasts, B candidate scans)
+        must emit exactly the baseline kernel's rows even with a block
+        size that forces multiple blocks."""
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import embed_topk_blocked
+        from util_gis_spark.queries import q_embed_topk
+
+        base = {
+            (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+            for r in q_embed_topk(spark, sf_dir).collect()
+        }
+        blocked = {
+            (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+            for r in embed_topk_blocked(
+                D.load(spark, sf_dir, "embeddings"), block_size=2
+            ).collect()
+        }
+        assert blocked == base and len(blocked) > 0
+
+    def test_empty_probe_set(self, spark, sf_dir):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import embed_topk_blocked
+
+        out = embed_topk_blocked(D.load(spark, sf_dir, "embeddings"), probe_filter="vec_id < 0")
+        assert out.count() == 0

@@ -276,3 +276,84 @@ SELECT probe_id, neighbor_id, cos_sim FROM (
   FROM scored
 ) WHERE _rk <= {k}
 """
+
+
+def embed_topk_blocked(
+    embeddings_df: DataFrame,
+    probe_filter: str = "vec_id % 100 = 0",
+    k: int = 5,
+    block_size: int = 10_000,
+) -> DataFrame:
+    """EXACT cosine top-k for probe sets above the single-broadcast cap
+    of the baseline kernel (queries.q_embed_topk refuses > max_probes):
+    probes are split into blocks of `block_size`, each block ships as
+    its own task broadcast, and the candidate table is scanned once per
+    block (Catalyst unions the per-block kernels into one job). Cost is
+    B = ceil(P / block_size) candidate scans — the textbook batched
+    exact-kNN trade: bounded memory per task, linear extra scans. Above
+    driver memory for the probe MATRIX itself, exactness must be
+    sacrificed (LSH/IVF) or the matmul moved to a blocked shuffle
+    cross-product; this is the documented middle tier. Output
+    (probe_id, neighbor_id, cos_sim), self excluded, global top-k with
+    (cos desc, neighbor_id) tie-break — identical rows to the baseline
+    kernel on the same input."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    spark = embeddings_df.sparkSession
+    e = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe_rows = sorted(
+        (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
+        for r in e.filter(probe_filter).collect()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    if not probe_rows:
+        return spark.createDataFrame([], schema)
+
+    scored = None
+    for s in range(0, len(probe_rows), block_size):
+        blk = probe_rows[s : s + block_size]
+        pid_l = np.array([p[0] for p in blk], dtype=np.int64)
+        pm = np.vstack([p[1] for p in blk])
+        bc = spark.sparkContext.broadcast(
+            (pid_l, pm / np.linalg.norm(pm, axis=1, keepdims=True))
+        )
+
+        def score(batches, _bc=bc, _k=k):
+            pid, pm_n = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cid = pdf["vec_id"].to_numpy(np.int64)
+                cm = np.vstack(pdf["v"].to_numpy())
+                cm_n = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                cos = pm_n @ cm_n.T
+                P, B = cos.shape
+                kk = min(_k + 1, B)
+                idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+                rows_p, rows_c, rows_s = [], [], []
+                for i in range(P):
+                    for j in idx[i]:
+                        if cid[j] != pid[i]:
+                            rows_p.append(pid[i])
+                            rows_c.append(cid[j])
+                            rows_s.append(round(float(cos[i, j]), 5))
+                yield pd.DataFrame(
+                    {"probe_id": rows_p, "neighbor_id": rows_c, "cos_sim": rows_s}
+                )
+
+        part = e.mapInPandas(score, schema=schema)
+        scored = part if scored is None else scored.unionByName(part)
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
