@@ -543,6 +543,9 @@ def pick_res_distributed(
     pip_join planner when the polygon layer is too large to collect."""
     row = (
         polygons_wkt_df.select(_envelope_area_col().alias("_area"))
+        # EMPTY/invalid WKT yields NaN, which Spark sorts as the
+        # LARGEST double — it would poison the median, so drop it
+        .filter(~F.isnan("_area"))
         .agg(F.percentile_approx("_area", 0.5).alias("med"))
         .first()
     )
