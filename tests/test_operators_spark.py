@@ -535,3 +535,29 @@ class TestBlockedTopK:
 
         out = embed_topk_blocked(D.load(spark, sf_dir, "embeddings"), probe_filter="vec_id < 0")
         assert out.count() == 0
+
+
+class TestEdgeAttachment:
+    def test_broadcast_and_inline_edges_equal(self, spark, sf_dir):
+        """pip_join_cells attach_edges flavors (narrow cell map +
+        broadcast edges vs per-boundary-cell duplication) must produce
+        identical row sets, with and without salting."""
+        imgs = D.images(spark, sf_dir)
+        polys = D.polygons_wkt(spark, sf_dir)
+        want = {
+            (r["image_key"], r["polygon_id"])
+            for r in joins.pip_join_cells(
+                imgs, polys, res=14, attach_edges="inline"
+            ).collect()
+        }
+        for kw in (
+            {"attach_edges": "broadcast"},
+            {"attach_edges": "auto"},
+            {"attach_edges": "broadcast", "salt_buckets": 4},
+        ):
+            got = {
+                (r["image_key"], r["polygon_id"])
+                for r in joins.pip_join_cells(imgs, polys, res=14, **kw).collect()
+            }
+            assert got == want, kw
+        assert len(want) > 0

@@ -347,24 +347,27 @@ def polygon_cover_cells(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
     return polygons_wkt_df.withColumn("cell", F.explode(cover(F.col("wkt"))))
 
 
-def polygon_cells_classified(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
-    """(polygon_id, cell, _inside, _edges): every covering cell of each
-    polygon, classified interior/boundary; boundary rows carry the
-    polygon's flat edge array (null on interior rows — the downstream
-    ray cast never runs there). The classification runs once per
-    POLYGON (the small-in-rows, maybe-large-in-total side), so the
-    per-point refine cost is paid only where a cell truly straddles a
-    boundary. Edge arrays are duplicated per boundary cell — the same
-    payload shape as shipping the WKT per candidate, but typed and
-    ready for the JVM ray cast."""
-    out_schema = T.StructType(
-        [
-            T.StructField("polygon_id", T.LongType()),
-            T.StructField("cell", T.LongType()),
-            T.StructField("_inside", T.BooleanType()),
-            T.StructField("_edges", EDGES_TYPE),
-        ]
-    )
+def polygon_cells_classified(
+    polygons_wkt_df: DataFrame, res: int, with_edges: bool = True
+) -> DataFrame:
+    """(polygon_id, cell, _inside[, _edges]): every covering cell of
+    each polygon, classified interior/boundary; with `with_edges`,
+    boundary rows carry the polygon's per-part edge arrays (null on
+    interior rows — the downstream ray cast never runs there). The
+    classification runs once per POLYGON (the small-in-rows,
+    maybe-large-in-total side), so the per-point refine cost is paid
+    only where a cell truly straddles a boundary. With `with_edges`
+    the edge arrays are duplicated per boundary cell through the cell
+    shuffle; `with_edges=False` emits the narrow map for the
+    broadcast-edges join flavor (see pip_join_cells attach_edges)."""
+    fields = [
+        T.StructField("polygon_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("_inside", T.BooleanType()),
+    ]
+    if with_edges:
+        fields.append(T.StructField("_edges", EDGES_TYPE))
+    out_schema = T.StructType(fields)
 
     def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -377,7 +380,7 @@ def polygon_cells_classified(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
                         [{"x1": e[0], "y1": e[1], "x2": e[2], "y2": e[3]} for e in part]
                         for part in _edge_parts_from_parsed(parsed)
                     ]
-                    if len(boundary)
+                    if (with_edges and len(boundary))
                     else None
                 )
                 for c in inside:
@@ -385,11 +388,36 @@ def polygon_cells_classified(polygons_wkt_df: DataFrame, res: int) -> DataFrame:
                 for c in boundary:
                     pids.append(pid); cls.append(int(c)); ins.append(False); eds.append(edges)
             if pids:  # empty frames infer float64 cols, breaking the Arrow struct cast
-                yield pd.DataFrame(
-                    {"polygon_id": pids, "cell": cls, "_inside": ins, "_edges": eds}
-                )
+                data = {"polygon_id": pids, "cell": cls, "_inside": ins}
+                if with_edges:
+                    data["_edges"] = eds
+                yield pd.DataFrame(data)
 
     return polygons_wkt_df.select("polygon_id", "wkt").mapInPandas(classify, schema=out_schema)
+
+
+def polygon_edges_table(polygons_wkt_df: DataFrame) -> DataFrame:
+    """(polygon_id, _edges): ONE row per polygon with its per-part edge
+    arrays — the build side of the broadcast-edges refine join."""
+    out_schema = T.StructType(
+        [T.StructField("polygon_id", T.LongType()), T.StructField("_edges", EDGES_TYPE)]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids, eds = [], []
+            for pid, wkt in zip(pdf["polygon_id"], pdf["wkt"]):
+                parts = [
+                    [{"x1": e[0], "y1": e[1], "x2": e[2], "y2": e[3]} for e in part]
+                    for part in _edge_parts_from_parsed(parse_wkt(wkt))
+                ]
+                if parts:
+                    pids.append(pid)
+                    eds.append(parts)
+            if pids:
+                yield pd.DataFrame({"polygon_id": pids, "_edges": eds})
+
+    return polygons_wkt_df.select("polygon_id", "wkt").mapInPandas(build, schema=out_schema)
 
 
 def pip_join_cells(
@@ -400,6 +428,8 @@ def pip_join_cells(
     lat_col: str = "lat",
     salt_buckets: int = 0,
     carry_cols: list[str] | None = None,
+    attach_edges: str = "auto",
+    edges_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Inner PIP join, cell equi-join flavor (large-large path).
 
@@ -411,19 +441,45 @@ def pip_join_cells(
     classification the hybrid flavor uses), boundary candidates go
     through the higher-order-function ray cast. No Python touches the
     fact rows at any point, and the fact table is scanned ONCE.
-    `carry_cols`: explicit column pruning (see pip_join_broadcast)."""
+    `carry_cols`: explicit column pruning (see pip_join_broadcast).
+
+    `attach_edges` controls how the refine's edge arrays reach the
+    boundary candidates:
+    - "broadcast": the cell map stays NARROW (polygon_id, cell,
+      _inside) through the shuffle; edges ride a one-row-per-polygon
+      broadcast table joined AFTER the cell join. For boundary-heavy
+      layers the r2 inline layout shipped edges x boundary_cells
+      through the exchange (a 500-edge polygon covering 1,000 boundary
+      cells = ~16 MB of duplicated payload PER POLYGON); broadcast
+      attachment ships each polygon's edges once per executor.
+    - "inline": r2 behavior — edges duplicated per boundary cell; no
+      broadcast needed, right when the polygon side is too big to fit
+      executor memory.
+    - "auto": broadcast when sum(length(wkt)) (a proportional proxy
+      for total edge bytes) fits `edges_broadcast_bytes`."""
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
+    if attach_edges == "auto":
+        sz = polygons_wkt_df.agg(F.sum(F.length("wkt"))).first()[0] or 0
+        attach_edges = "broadcast" if int(sz) <= edges_broadcast_bytes else "inline"
+
     pts = points_df.withColumn("cell", cells.cell_expr(F.col(lon_col), F.col(lat_col), res))
-    pol = polygon_cells_classified(polygons_wkt_df, res)
+    pol = polygon_cells_classified(
+        polygons_wkt_df, res, with_edges=(attach_edges == "inline")
+    )
     if salt_buckets > 0:
         pts = pts.withColumn("salt", F.pmod(F.xxhash64(lon_col, lat_col), F.lit(salt_buckets)))
         pol = pol.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
         keys = ["cell", "salt"]
     else:
         keys = ["cell"]
-    cand = pts.join(pol.select(*keys, "polygon_id", "_inside", "_edges"), on=keys, how="inner")
+    pol_cols = ["polygon_id", "_inside"] + (["_edges"] if attach_edges == "inline" else [])
+    cand = pts.join(pol.select(*keys, *pol_cols), on=keys, how="inner")
+    if attach_edges != "inline":
+        cand = cand.join(
+            F.broadcast(polygon_edges_table(polygons_wkt_df)), on="polygon_id", how="left"
+        )
     keep = F.when(F.col("_inside"), F.lit(True)).otherwise(
         raycast_inside_expr(F.col(lon_col), F.col(lat_col), F.col("_edges"))
     )
