@@ -68,9 +68,12 @@ def main() -> None:
             "Large-large PIP: shuffled cell equi-join (salted), JVM refine",
             "Verify: (1) ONE Scan parquet for the fact side; (2) the join on "
             "(cell, salt) is a shuffle join (SortMergeJoin/ShuffledHashJoin + "
-            "Exchange) — the large-large path; (3) the polygon side's only "
-            "Python is the per-POLYGON classify kernel (MapInPandas on the "
-            "25-row side), never on fact rows; (4) the refine is the "
+            "Exchange) over a NARROW cell map (polygon_id, cell, _inside — "
+            "edge arrays no longer duplicated per boundary cell through the "
+            "exchange); (3) edges attach via a BroadcastHashJoin on "
+            "polygon_id AFTER the cell join; (4) the polygon side's only "
+            "Python is the per-POLYGON classify + edges kernels (MapInPandas "
+            "on the 25-row side), never on fact rows; (5) the refine is the "
             "higher-order-function ray cast inside the JVM Filter.",
             cells_plan,
         )
