@@ -155,10 +155,12 @@ def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     # materialize device_id BEFORE the window and partition the window
-    # on the attribute (not the raw expression): downstream
-    # groupBy("device_id") operators (the plot composites) then reuse
-    # this hash partitioning and Catalyst elides their Exchange —
-    # one shuffle for window + grouped-map instead of two.
+    # on the attribute (not the raw expression) so downstream
+    # device_id-keyed operators see a matching partitioning. (The plot
+    # composites now route through grouped_apply, whose explicit pinned
+    # repartition re-shuffles regardless — measured ~free at this row
+    # count — so this buys exchange elision only for plain
+    # groupBy/window consumers.)
     pre = e.select(
         (F.col("user_id") % 10).alias("device_id"),
         F.col("event_id").alias("point_id"),

@@ -167,7 +167,7 @@ def minhash_near_dup_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
     shingler: str = "word_pair",
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs colliding in >= 1 LSH band and
     passing the exact shingle-Jaccard verify. doc_a < doc_b.
@@ -178,14 +178,17 @@ def minhash_near_dup_pairs(
     sets up to md5 collisions, ~2^-45 per doc).
 
     Plan shape: the signature table feeds three consumers (the band
-    explode + both verify joins); `persist=True` materializes it once
-    (MEMORY_AND_DISK) instead of re-running the Arrow kernel per
-    consumer — the r2 plan recomputed it 6x, which (not the md5 loop)
-    was why minhash_dedup was the one flat bench query. At warehouse
-    scale the same role is played by writing the signature table to a
-    bucketed parquet stage (io/bucketed.py, see
-    minhash_signatures_bucketed) so repeat dedup runs also skip the
-    band-join shuffle."""
+    explode + both verify joins). The r2 plan recomputed the kernel 6x
+    via a 4-way band union, which (not the md5 loop) was why
+    minhash_dedup was the one flat bench query; the single explode
+    fixed that (3.6 s -> 0.7 s measured). `persist=True` additionally
+    caches the signature table across the three consumers — worth it
+    when the corpus is large and the kernel dominates, but the cache
+    CANNOT be unpersisted from here (the result is lazy) and
+    accumulates for the session's lifetime, so it is off by default;
+    for repeated or large runs the right tool is the bucketed stage
+    (write_minhash_stage / minhash_pairs_from_stage), which also skips
+    the band-join shuffle."""
     base = _sig_kernel(docs, shingler=shingler)
     if persist:
         from pyspark import StorageLevel
@@ -308,7 +311,13 @@ def minhash_dedup_incremental(
     from the fresh kernel and corpus-side hashes from
     `{prefix}_hashes`. Returns (doc_a = new batch id, doc_b = corpus
     id, jaccard). Assumes disjoint id spaces (rows with doc_a == doc_b
-    are dropped as self-matches of re-ingested docs)."""
+    are dropped as self-matches of re-ingested docs).
+
+    The new batch's signatures are persisted across the two consumers
+    (bands + verify); the cache lives until the session drops the
+    DataFrame — callers landing MANY batches in one long session
+    should instead extend the stage with write_minhash_stage and use
+    the stage-vs-stage join."""
     from pyspark import StorageLevel
 
     spark = new_docs.sparkSession

@@ -587,6 +587,28 @@ def _envelope_area_col() -> "F.Column":
     return env_area(F.col("wkt"))
 
 
+def _layer_stats(polygons_wkt_df: DataFrame) -> tuple[float | None, int]:
+    """(median envelope area, total WKT bytes) of a polygon layer in
+    ONE distributed aggregation — everything the planner needs for a
+    large layer without collecting it."""
+    row = (
+        polygons_wkt_df.select(
+            _envelope_area_col().alias("_area"), F.length("wkt").alias("_len")
+        )
+        .agg(
+            # EMPTY/invalid WKT yields NaN, which Spark sorts as the
+            # LARGEST double — it would poison the median, so gate it
+            F.percentile_approx(
+                F.when(~F.isnan("_area"), F.col("_area")), 0.5
+            ).alias("med"),
+            F.sum("_len").alias("bytes"),
+        )
+        .first()
+    )
+    med = row["med"]
+    return (None if med is None else float(med)), int(row["bytes"] or 0)
+
+
 def pick_res_distributed(
     polygons_wkt_df: DataFrame,
     target_cells_per_poly: int = 128,
@@ -597,18 +619,10 @@ def pick_res_distributed(
     aggregation computes the approximate median envelope area
     (percentile_approx), then the same formula applies. Used by the
     pip_join planner when the polygon layer is too large to collect."""
-    row = (
-        polygons_wkt_df.select(_envelope_area_col().alias("_area"))
-        # EMPTY/invalid WKT yields NaN, which Spark sorts as the
-        # LARGEST double — it would poison the median, so drop it
-        .filter(~F.isnan("_area"))
-        .agg(F.percentile_approx("_area", 0.5).alias("med"))
-        .first()
-    )
-    med = row["med"]
+    med, _ = _layer_stats(polygons_wkt_df)
     if med is None:
         return 14
-    return _res_from_median_area(float(med), target_cells_per_poly, lo, hi)
+    return _res_from_median_area(med, target_cells_per_poly, lo, hi)
 
 
 def pip_join(
@@ -643,19 +657,38 @@ def pip_join(
        built AND joined distributed — the r2 planner shuffled the join
        but still classified in a driver loop, which was its 100x
        bottleneck."""
-    n_polys = polygons_wkt_df.limit(collect_threshold_polys + 1).count()
-    if n_polys > collect_threshold_polys:
-        if res is None:
-            res = pick_res_distributed(polygons_wkt_df)
+    unknown = set(kw) - {"refine", "salt_buckets", "edges_broadcast_bytes"}
+    if unknown:
+        raise TypeError(f"pip_join: unknown option(s) {sorted(unknown)}")
+    edges_cap = kw.get("edges_broadcast_bytes", 64 << 20)
+
+    def _cells(res_: int, attach: str) -> DataFrame:
+        if kw.get("refine", "jvm") != "jvm":
+            raise ValueError(
+                "pip_join: refine='arrow' is only available on the hybrid "
+                "(collectable polygon side) path; the distributed cells path "
+                "refines with the JVM ray cast"
+            )
         return pip_join_cells(
             points_df,
             polygons_wkt_df,
-            res=res,
+            res=res_,
             lon_col=lon_col,
             lat_col=lat_col,
             carry_cols=carry_cols,
             salt_buckets=kw.get("salt_buckets", 0),
+            attach_edges=attach,
+            edges_broadcast_bytes=edges_cap,
         )
+
+    n_polys = polygons_wkt_df.limit(collect_threshold_polys + 1).count()
+    if n_polys > collect_threshold_polys:
+        # ONE aggregation gives both the resolution and the edge-
+        # attachment mode — no extra eager probe inside pip_join_cells
+        med, wkt_bytes = _layer_stats(polygons_wkt_df)
+        if res is None:
+            res = 14 if med is None else _res_from_median_area(med)
+        return _cells(res, "broadcast" if wkt_bytes <= edges_cap else "inline")
     polys = _collect_polygons(polygons_wkt_df)
     if res is None:
         res = pick_res([env for _pid, _parsed, env in polys])
@@ -665,15 +698,9 @@ def pip_join(
     for _pid, _parsed, (x0, y0, x1, y1) in polys:
         est_cells += max((x1 - x0) / cell_w, 1.0) * max((y1 - y0) / cell_h, 1.0)
     if est_cells > broadcast_threshold_cells:
-        return pip_join_cells(
-            points_df,
-            polygons_wkt_df,
-            res=res,
-            lon_col=lon_col,
-            lat_col=lat_col,
-            carry_cols=carry_cols,
-            salt_buckets=kw.get("salt_buckets", 0),
-        )
+        # the layer is already collected: size the edge payload from it
+        n_edges = sum(len(part) for _p, parsed, _e in polys for part in _edge_parts_from_parsed(parsed))
+        return _cells(res, "broadcast" if n_edges * 32 <= edges_cap else "inline")
     return pip_join_hybrid(
         points_df,
         polygons_wkt_df,
@@ -733,15 +760,19 @@ def _grid_nearest_batch(plon, plat, idx, level: int):
     gx = np.floor((plon - idx["x0"]) / w).astype(np.int64)
     gy = np.floor((plat - idx["y0"]) / h).astype(np.int64)
 
-    # gather 3x3 ring member COUNTS per probe (CSR over the fine grid:
-    # a coarse cell at `level` covers a contiguous gx range only if
-    # re-bucketed; instead re-bucket candidates per level cheaply)
     clon, clat, cid = idx["clon"], idx["clat"], idx["cid"]
-    cgx = np.clip(((clon - idx["x0"]) / w).astype(np.int64), 0, dims - 1)
-    cgy = np.clip(((clat - idx["y0"]) / h).astype(np.int64), 0, dims - 1)
-    cflat = cgx * dims + cgy
-    corder = np.argsort(cflat, kind="stable")
-    cstarts = np.searchsorted(cflat[corder], np.arange(dims * dims + 1))
+    # per-level candidate CSR, built ONCE per worker process: the
+    # broadcast value is deserialized once per executor, so mutating
+    # the dict caches coarser re-bucketings across Arrow batches
+    # (level 0 reuses the CSR prebuilt at index time)
+    cache = idx.setdefault("_levels", {0: (idx["order"], idx["starts"])})
+    if level not in cache:
+        cgx = np.clip(((clon - idx["x0"]) / w).astype(np.int64), 0, dims - 1)
+        cgy = np.clip(((clat - idx["y0"]) / h).astype(np.int64), 0, dims - 1)
+        cflat = cgx * dims + cgy
+        corder = np.argsort(cflat, kind="stable")
+        cache[level] = (corder, np.searchsorted(cflat[corder], np.arange(dims * dims + 1)))
+    corder, cstarts = cache[level]
 
     from .clustering import _ranges_concat
 
