@@ -130,3 +130,43 @@ class TestGeometryProperties:
         mu = calc_mu(m2)
         assert mu >= 0
         assert abs(mu - m2 * 3.0 / 2000.0) <= 5e-5 + 1e-12 * m2
+
+
+class TestGridNearestProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n_cand=st.integers(min_value=1, max_value=120),
+        n_probe=st.integers(min_value=1, max_value=60),
+        spread=st.floats(min_value=1e-4, max_value=5.0),
+    )
+    def test_grid_ladder_equals_brute_force(self, seed, n_cand, n_probe, spread):
+        """The grid kNN ladder's pure-numpy core must return EXACTLY the
+        brute-force nearest (distance and id, including ties broken by
+        cand_id) for arbitrary clouds — probes inside, outside, and far
+        from the candidate bbox."""
+        from util_gis_spark.operators.joins import _cand_grid_index, _grid_nearest_all
+
+        rng = np.random.default_rng(seed)
+        clon = 116.0 + rng.uniform(-spread, spread, n_cand)
+        clat = 39.5 + rng.uniform(-spread, spread, n_cand)
+        cands = [(int(i * 7 + 3), float(x), float(y)) for i, (x, y) in enumerate(zip(clon, clat))]
+        # probes: half near the cloud, half far outside the bbox
+        plon = np.concatenate(
+            [116.0 + rng.uniform(-spread, spread, (n_probe + 1) // 2),
+             116.0 + rng.uniform(3 * spread + 0.1, 6 * spread + 0.2, n_probe // 2)]
+        )
+        plat = np.concatenate(
+            [39.5 + rng.uniform(-spread, spread, (n_probe + 1) // 2),
+             39.5 - rng.uniform(3 * spread + 0.1, 6 * spread + 0.2, n_probe // 2)]
+        )
+        idx = _cand_grid_index(cands)
+        max_levels = max(int(np.ceil(np.log2(max(idx["dims"], 2)))), 1)
+        got_id, got_d = _grid_nearest_all(plon, plat, idx, max_levels)
+
+        d = np_haversine(plon[:, None], plat[:, None], idx["clon"][None, :], idx["clat"][None, :])
+        j = np.argmin(d, axis=1)  # first min = smallest cand_id (sorted)
+        want_id = idx["cid"][j]
+        want_d = d[np.arange(len(plon)), j]
+        assert (got_id == want_id).all()
+        assert np.allclose(got_d, want_d, rtol=0, atol=1e-9)

@@ -822,6 +822,42 @@ def _grid_nearest_batch(plon, plat, idx, level: int):
     return nearest, dist, accepted
 
 
+def _grid_nearest_all(plon, plat, idx, max_levels: int):
+    """Pure-numpy exact nearest over a grid index: the escalation
+    ladder (accepted = provably global min) plus a blocked brute-force
+    pass for leftovers. Tie-breaks by (dist, cand_id) throughout —
+    identical output contract to knn_join_broadcast's argmin over
+    cand_id-sorted candidates. Kept Spark-free so the property tests
+    can differential-test it directly against brute force."""
+    import numpy as np
+
+    from ..geo.sphere import np_haversine
+
+    cid, clon, clat = idx["cid"], idx["clon"], idx["clat"]
+    n = len(plon)
+    out_id = np.empty(n, dtype=np.int64)
+    out_d = np.empty(n)
+    todo = np.arange(n)
+    for level in range(max_levels):
+        nr, dd, acc = _grid_nearest_batch(plon[todo], plat[todo], idx, level)
+        hit = todo[acc]
+        out_id[hit] = cid[nr[acc]]
+        out_d[hit] = dd[acc]
+        todo = todo[~acc]
+        if not len(todo):
+            break
+    if len(todo):
+        for s in range(0, len(todo), 4096):
+            blk = todo[s : s + 4096]
+            d = np_haversine(
+                plon[blk][:, None], plat[blk][:, None], clon[None, :], clat[None, :]
+            )
+            j = np.argmin(d, axis=1)
+            out_id[blk] = cid[j]
+            out_d[blk] = d[np.arange(len(blk)), j]
+    return out_id, out_d
+
+
 def knn_join_grid(
     probes_df: DataFrame,
     candidates: list[tuple],
@@ -856,37 +892,13 @@ def knn_join_grid(
     max_levels = max(int(np.ceil(np.log2(max(idx["dims"], 2)))), 1)
 
     def nearest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..geo.sphere import np_haversine
-
         ix = bidx.value
-        cid, clon, clat = ix["cid"], ix["clon"], ix["clat"]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             plon = pdf[lon_col].to_numpy(np.float64)
             plat = pdf[lat_col].to_numpy(np.float64)
-            n = len(pdf)
-            out_id = np.empty(n, dtype=np.int64)
-            out_d = np.empty(n)
-            todo = np.arange(n)
-            for level in range(max_levels):
-                nr, dd, acc = _grid_nearest_batch(plon[todo], plat[todo], ix, level)
-                hit = todo[acc]
-                out_id[hit] = cid[nr[acc]]
-                out_d[hit] = dd[acc]
-                todo = todo[~acc]
-                if not len(todo):
-                    break
-            if len(todo):
-                # exact fallback: blocked brute force for the leftovers
-                for s in range(0, len(todo), 4096):
-                    blk = todo[s : s + 4096]
-                    d = np_haversine(
-                        plon[blk][:, None], plat[blk][:, None], clon[None, :], clat[None, :]
-                    )
-                    j = np.argmin(d, axis=1)
-                    out_id[blk] = cid[j]
-                    out_d[blk] = d[np.arange(len(blk)), j]
+            out_id, out_d = _grid_nearest_all(plon, plat, ix, max_levels)
             out = pd.DataFrame(
                 {
                     "probe_id": pdf[probe_id_col].to_numpy(np.int64),
