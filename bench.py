@@ -97,16 +97,19 @@ def main() -> None:
     ]
     run("knn_join", lambda: joins.knn_join_broadcast(images, centers).count(), reps=2)
 
-    # --- grid-index kNN at a skewed probe:candidate ratio (2M x ~13k):
-    # the shuffle ladder is pathological here (one rep > 10 min); the
-    # broadcast grid kernel is the planner's choice
+    # --- grid-index kNN at a skewed probe:candidate ratio (500k x ~13k):
+    # the shuffle ladder is pathological here (one rep of the 2M job
+    # did not finish in 10 min); the broadcast grid kernel is the
+    # planner's choice. 500k probes keeps the row bounded under
+    # co-tenant load; the kernel is linear in probes.
     def knn_grid():
         cand_df = filters.filter_wgs84_points(D.gps_points(spark, sf_dir)).select(
             F.col("point_id").alias("cand_id"), "lon", "lat"
         )
-        return joins.knn_join(
-            images.select(F.col("image_key").alias("probe_id"), "lon", "lat"), cand_df
-        ).count()
+        probes = D.images_range(spark, 500_000, cpus).select(
+            F.col("image_key").alias("probe_id"), "lon", "lat"
+        )
+        return joins.knn_join(probes, cand_df).count()
 
     run("knn_join_grid", knn_grid, reps=2)
 
