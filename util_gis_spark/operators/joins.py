@@ -500,11 +500,10 @@ def knn_join_broadcast(
     with deterministic tie-break on cand_id (candidates pre-sorted, and
     np.argmin keeps the first minimum). Equivalent row set to the
     reference's findClosestPointList (G:12269-12296); `max_dist_m` is
-    the tolerance cap (G:12151-12196 keeps min dist <= tolerance)."""
-    cand = sorted(candidates)
-    cid = np.array([c[0] for c in cand], dtype=np.int64)
-    clon = np.array([c[1] for c in cand], dtype=np.float64)
-    clat = np.array([c[2] for c in cand], dtype=np.float64)
+    the tolerance cap (G:12151-12196 keeps min dist <= tolerance).
+    `candidates` also accepts a (cid, clon, clat) numpy triple (the
+    Arrow ingestion path — see _cand_arrays)."""
+    cid, clon, clat = _cand_arrays(candidates)
 
     schema = T.StructType(
         [
@@ -713,18 +712,36 @@ def pip_join(
     )
 
 
-def _cand_grid_index(candidates: list[tuple]):
-    """Build the broadcastable grid index over a candidate list:
+def _cand_arrays(candidates):
+    """Normalize a candidate set to id-sorted numpy columns
+    (cid int64, clon f64, clat f64). Accepts a list of (id, lon, lat)
+    tuples or a (cid, clon, clat) array triple — the latter is the
+    Arrow ingestion path (knn_join collects via toPandas, never
+    materializing per-row Python objects). Sort order matches the old
+    tuple sort exactly: (id, lon, lat) lexicographic."""
+    import numpy as np
+
+    if isinstance(candidates, tuple) and len(candidates) == 3:
+        cid = np.asarray(candidates[0], dtype=np.int64)
+        clon = np.asarray(candidates[1], dtype=np.float64)
+        clat = np.asarray(candidates[2], dtype=np.float64)
+    else:
+        cid = np.array([c[0] for c in candidates], dtype=np.int64)
+        clon = np.array([c[1] for c in candidates], dtype=np.float64)
+        clat = np.array([c[2] for c in candidates], dtype=np.float64)
+    order = np.lexsort((clat, clon, cid))
+    return cid[order], clon[order], clat[order]
+
+
+def _cand_grid_index(candidates):
+    """Build the broadcastable grid index over a candidate set:
     candidates sorted by id, bucketed into a local ~1-per-cell grid
     over their bbox (CSR layout: order + offsets). The executor-side
     analogue of the reference's STRtree build (G:3184-3416)."""
     import numpy as np
 
-    cand = sorted(candidates)
-    cid = np.array([c[0] for c in cand], dtype=np.int64)
-    clon = np.array([c[1] for c in cand], dtype=np.float64)
-    clat = np.array([c[2] for c in cand], dtype=np.float64)
-    dims = max(int(np.sqrt(len(cand))), 1)
+    cid, clon, clat = _cand_arrays(candidates)
+    dims = max(int(np.sqrt(len(cid))), 1)
     x0, x1 = float(clon.min()), float(clon.max())
     y0, y1 = float(clat.min()), float(clat.max())
     w = max((x1 - x0) / dims, 1e-9)
@@ -918,7 +935,8 @@ def knn_join(
     candidates_df: DataFrame,
     probe_id_col: str = "probe_id",
     cand_id_col: str = "cand_id",
-    max_broadcast_candidates: int = 2_000_000,
+    max_broadcast_bytes: int = 48 << 20,
+    max_broadcast_candidates: int | None = None,
     dense_threshold: int = 256,
     res: int = 14,
 ) -> DataFrame:
@@ -929,18 +947,32 @@ def knn_join(
     shuffled cell ladder (knn_join_cells). The broadcast flavors beat
     the ladder by orders of magnitude at skewed probe:candidate ratios
     (measured: 2M probes x 12.7k candidates did not finish one ladder
-    rep in 10 min; the grid kernel does it in seconds)."""
-    n_cand = candidates_df.limit(max_broadcast_candidates + 1).count()
+    rep in 10 min; the grid kernel does it in seconds).
+
+    The broadcast cap is BYTE-based: the index costs ~24 B/candidate
+    (int64 id + 2 x f64), so the default 48 MB admits ~2M candidates —
+    sized to the task-broadcast budget, not to driver Python-object
+    overhead, because ingestion is Arrow (toPandas -> numpy columns;
+    never a per-row Python list). `max_broadcast_candidates` remains
+    as an explicit row override."""
+    cap_rows = (
+        max_broadcast_candidates
+        if max_broadcast_candidates is not None
+        else max(max_broadcast_bytes // 24, 1)
+    )
+    n_cand = candidates_df.limit(cap_rows + 1).count()
     if n_cand == 0:
         spark = probes_df.sparkSession
         return spark.createDataFrame(
             [], "probe_id long, nearest_id long, dist_m double"
         )
-    if n_cand <= max_broadcast_candidates:
-        cands = [
-            (int(r[cand_id_col]), float(r["lon"]), float(r["lat"]))
-            for r in candidates_df.select(cand_id_col, "lon", "lat").collect()
-        ]
+    if n_cand <= cap_rows:
+        cpdf = candidates_df.select(cand_id_col, "lon", "lat").toPandas()
+        cands = (
+            cpdf[cand_id_col].to_numpy(np.int64),
+            cpdf["lon"].to_numpy(np.float64),
+            cpdf["lat"].to_numpy(np.float64),
+        )
         if n_cand <= dense_threshold:
             return knn_join_broadcast(probes_df, cands, probe_id_col=probe_id_col)
         return knn_join_grid(probes_df, cands, probe_id_col=probe_id_col)
