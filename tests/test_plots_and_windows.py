@@ -3,6 +3,8 @@ window/sampling/clustering kernels — synthetic trajectories shaped
 like the reference's regression corpus (field serpentine + connecting
 road, parking cloud, cadence switches)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -295,3 +297,81 @@ class TestPointsInTimeRange:
         got = sorted((r["point_id"], r["polygon_id"]) for r in out)
         # inclusive bounds: ts in [2,4] -> polygon 7; ts in [8,9] -> polygon 8
         assert got == [(2, 7), (3, 7), (4, 7), (8, 8), (9, 8)]
+
+
+class TestTimeWindowsSqlTwin:
+    """gps_time_windows graduated from a golden pin to a real DuckDB
+    twin in r4. The twin is exact ONLY when the input cannot fire the
+    cadence-switch rule (>= MIN_CONSECUTIVE consecutive equal dts);
+    these tests pin (a) that precondition on the driver fixture and
+    (b) the twin's equality with the actual state machine on it."""
+
+    SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    def _device_secs(self):
+        import duckdb
+
+        from util_gis_spark.datasets import GPS_POINTS_SQL
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{self.SF}/events.parquet')"
+        )
+        return con.execute(
+            f"WITH pts AS ({GPS_POINTS_SQL}) "
+            "SELECT device_id, epoch_us(ts) // 1000000 AS sec, ts, point_id "
+            "FROM pts ORDER BY device_id, ts, point_id"
+        ).df()
+
+    def test_fixture_cannot_fire_cadence_switch(self):
+        import numpy as np
+
+        from util_gis_spark.operators.windows import MIN_CONSECUTIVE
+
+        df = self._device_secs()
+        worst = 0
+        for _d, g in df.groupby("device_id"):
+            dt = np.diff(g["sec"].to_numpy(np.int64))
+            if len(dt) == 0:
+                continue
+            runs = np.diff(np.flatnonzero(np.concatenate(([True], dt[1:] != dt[:-1], [True]))))
+            worst = max(worst, int(runs.max()))
+        assert worst < MIN_CONSECUTIVE, (
+            f"fixture has a {worst}-long equal-dt run; the SQL twin for "
+            "gps_time_windows is no longer exact — revert it to a golden pin"
+        )
+
+    def test_twin_sql_equals_state_machine(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from util_gis_spark.datasets import GPS_POINTS_SQL
+        from util_gis_spark.operators.windows import (
+            np_split_time_windows,
+            split_time_windows_summary_sql,
+        )
+
+        df = self._device_secs()
+        rows = []
+        for d, g in df.groupby("device_id"):
+            wid, lab = np_split_time_windows(g["sec"].to_numpy(np.int64))
+            gg = g.assign(window_id=wid, window_interval_s=lab)
+            rows.append(
+                gg.groupby(["window_id", "window_interval_s"], as_index=False).agg(
+                    n_points=("sec", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
+                ).assign(device_id=d)
+            )
+        expect = pd.concat(rows, ignore_index=True)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{self.SF}/events.parquet')"
+        )
+        got = con.execute(split_time_windows_summary_sql(GPS_POINTS_SQL)).df()
+        cols = sorted(got.columns)
+        e = expect[cols].sort_values(cols).reset_index(drop=True).astype(got.dtypes.to_dict())
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        assert len(e) == len(g) and e.equals(g)

@@ -259,6 +259,43 @@ def kalman_smooth_trajectories(df_projected: DataFrame, group_cols=("device_id",
     return grouped_apply(df_projected, group_cols, run, schema)
 
 
+def split_time_windows_summary_sql(
+    pts_src: str, max_interval_s: int = MAX_INTERVAL_S
+) -> str:
+    """DuckDB twin of q_gps_time_windows' summary, valid whenever the
+    input cannot trigger the cadence-SWITCH rule (a different dt value
+    repeating >= MIN_CONSECUTIVE times consecutively). On such inputs
+    the state machine reduces exactly to: raw windows split where
+    dt > max_interval_s, label = modal in-window dt (tie -> smaller,
+    empty -> 0), then adjacent same-label windows merged. The driver's
+    events fixture satisfies the precondition — its timestamps are
+    jitter-random, so equal consecutive integer dts are one-off
+    (asserted by tests/test_plots_and_windows.py); the switch path is
+    covered by the dedicated cadence fixtures there."""
+    return f"""
+WITH pts AS ({pts_src}),
+s AS (SELECT device_id, ts, point_id, epoch_us(ts) // 1000000 AS sec FROM pts),
+d AS (SELECT *, sec - lag(sec) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS dt FROM s),
+r AS (SELECT *, sum(CASE WHEN dt IS NULL OR dt > {max_interval_s} THEN 1 ELSE 0 END)
+          OVER (PARTITION BY device_id ORDER BY ts, point_id ROWS UNBOUNDED PRECEDING) - 1 AS raw_id FROM d),
+m AS (SELECT device_id, raw_id, dt, count(*) AS c FROM r
+      WHERE dt IS NOT NULL AND dt <= {max_interval_s} GROUP BY 1, 2, 3),
+best AS (SELECT device_id, raw_id, dt AS label FROM
+         (SELECT *, row_number() OVER (PARTITION BY device_id, raw_id ORDER BY c DESC, dt ASC) AS rn FROM m)
+         WHERE rn = 1),
+w0 AS (SELECT r.device_id, r.raw_id, coalesce(b.label, 0) AS label,
+              count(*) AS n, min(r.ts) AS st, max(r.ts) AS en
+       FROM r LEFT JOIN best b ON r.device_id = b.device_id AND r.raw_id = b.raw_id
+       GROUP BY 1, 2, 3),
+w1 AS (SELECT *, lag(label) OVER (PARTITION BY device_id ORDER BY raw_id) AS plabel FROM w0),
+mg AS (SELECT *, sum(CASE WHEN label = plabel THEN 0 ELSE 1 END)
+           OVER (PARTITION BY device_id ORDER BY raw_id ROWS UNBOUNDED PRECEDING) - 1 AS window_id FROM w1)
+SELECT device_id, CAST(window_id AS BIGINT) AS window_id, CAST(label AS BIGINT) AS window_interval_s,
+       sum(n) AS n_points, min(st) AS start_ts, max(en) AS end_ts
+FROM mg GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------- time overlaps
 def has_time_overlap(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFrame:
     """hasTimeOverlap (G:10128-10151): sort ranges by start; overlap

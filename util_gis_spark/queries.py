@@ -259,7 +259,9 @@ def q_gps_gauss_mileage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gps_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cadence session windows (splitTimeWindows G:6249) summary;
-    oracle = golden rows (sequential state machine)."""
+    oracle = real DuckDB twin (split_time_windows_summary_sql — exact
+    because the fixture cannot trigger the cadence-switch rule; the
+    switch path is pytest-fixture covered)."""
     from .operators.windows import split_time_windows
 
     out = split_time_windows(D.gps_points(spark, sf_dir))
@@ -859,6 +861,7 @@ def catalogue() -> dict:
 def oracles() -> dict[str, str]:
     from . import goldens
     from .operators import projection as proj_mod
+    from .operators import windows as windows_mod
 
     pts = {"pts": D.GPS_POINTS_SQL, "fpts": _filtered_sql()}
     img = {"img": D.IMAGES_SQL}
@@ -890,6 +893,11 @@ SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
             pts, trajectory.session_by_distance_sql("SELECT * FROM fpts", 5000.0)
         ),
         "gps_modal_interval": _with(pts, trajectory.modal_interval_sql("SELECT * FROM fpts")),
+        # real twin (upgraded from a golden pin): on the jitter-random
+        # events fixture the cadence-SWITCH rule can never fire, so the
+        # state machine is exactly SQL-expressible — see
+        # windows.split_time_windows_summary_sql for the precondition.
+        "gps_time_windows": windows_mod.split_time_windows_summary_sql(D.GPS_POINTS_SQL),
         "gps_speed_average": trajectory.speed_average_sql(_filtered_sql()),
         "gps_speed_histogram": _with(
             {"pts": D.GPS_POINTS_SQL}, trajectory.speed_histogram_sql("SELECT * FROM pts")
