@@ -89,3 +89,78 @@ class TestAnalyticArea:
         for e in exp.values():
             assert e["mu_lo"] < e["mu_hi"]
             assert (e["end_ts"] - e["start_ts"]).total_seconds() == e["n_points"] - 1
+
+
+@needs_sf
+class TestR4PinsAreIndependentlyValid:
+    """r4 extends the flagship template to 6 more pins: committed
+    goldens must satisfy the zero-engine-import derivations, and
+    injected bugs must fail them."""
+
+    def test_all_gated_pins_pass(self):
+        from independent_goldens import PIN_CHECKS
+
+        for name, check in PIN_CHECKS.items():
+            assert check(_golden_rows(name), SF) == [], name
+
+    def test_conflict_missing_survivor_is_caught(self):
+        from independent_goldens import check_conflict_rows
+
+        rows = _golden_rows("conflict_resolution")
+        errs = check_conflict_rows([r for r in rows if not (r["grp"] == 2 and r["member_idx"] == 3)])
+        assert any("survivor set" in e for e in errs)
+
+    def test_conflict_unclipped_member_is_caught(self):
+        """The defining bug: a member that kept its FULL rectangle
+        instead of the clipped strip (i.e. the clip loop didn't run)
+        must violate the analytic strip area."""
+        from independent_goldens import check_conflict_rows, spherical_rect_mu
+
+        rows = _golden_rows("conflict_resolution")
+        for r in rows:
+            if r["grp"] == 1 and r["member_idx"] == 2:
+                x0 = 116.0 + 1 * 0.15
+                y0 = 39.5 + 0.04 * 2
+                r["mu_approx"] = round(spherical_rect_mu(x0, x0 + 0.07 - 0.008, y0, y0 + 0.07), 1)
+        errs = check_conflict_rows(rows)
+        assert any("outside" in e for e in errs)
+
+    def test_merge_dropped_rect_is_caught(self):
+        from independent_goldens import check_merge_rows
+
+        rows = _golden_rows("merge_polygons")
+        rows[0] = dict(rows[0], mu_approx=rows[0]["mu_approx"] * 4.0 / 5.0)
+        assert any("outside" in e for e in check_merge_rows(rows))
+
+    def test_decode_row_misalignment_is_caught(self):
+        """Swapping two images' stats (classic Arrow batch-alignment
+        bug) passes every distribution bound — only the sample
+        re-derivation catches it."""
+        from independent_goldens import check_decode_stats_rows
+
+        rows = _golden_rows("images_decode_stats")
+        a, b = rows[0], rows[1]
+        a["mean_lum"], b["mean_lum"] = b["mean_lum"], a["mean_lum"]
+        assert any("derived" in e for e in check_decode_stats_rows(rows, SF))
+
+    def test_decode_wrong_pixel_count_is_caught(self):
+        from independent_goldens import check_decode_stats_rows
+
+        rows = _golden_rows("images_decode_stats")
+        rows[5] = dict(rows[5], n_pixels=4095)
+        assert any("n_pixels" in e for e in check_decode_stats_rows(rows, SF))
+
+    def test_psnr_below_invariant_is_caught(self):
+        from independent_goldens import check_psnr_rows
+
+        rows = _golden_rows("images_psnr_check")
+        rows[1] = dict(rows[1], min_psnr_db=39.5)
+        errs = check_psnr_rows(rows, SF)
+        assert any("40 dB" in e for e in errs)
+
+    def test_video_frame_ladder_is_caught(self):
+        from independent_goldens import check_video_rows
+
+        rows = _golden_rows("video_frame_sample")
+        rows[7] = dict(rows[7], n_sampled=int(rows[7]["n_sampled"]) + 1)
+        assert any("n_sampled" in e for e in check_video_rows(rows, SF))

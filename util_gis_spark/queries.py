@@ -184,22 +184,33 @@ def q_merge_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Larger-wins overlap resolution over an overlapping derived
-    layer; oracle = golden rows (raster clip areas are
-    grid-approximate but deterministic; member order pinned)."""
+    """Larger-wins overlap resolution; oracle = golden rows (raster
+    clip areas are grid-approximate but deterministic; member order
+    pinned), gated before pinning by the EXACT analytic derivation in
+    scripts/independent_goldens.py (each group is a ladder of
+    overlapping rectangles whose larger-wins survivors are axis-
+    aligned strips with closed-form spherical areas).
+
+    Fixture: group g holds members r = 0..4 stacked at y = 39.5 +
+    0.04*r (height 0.07 -> 0.03 deg overlap with the previous member)
+    with strictly decreasing widths 0.07 - 0.004*r, so area order ==
+    stack order and every member AFTER the first gets clipped to a
+    0.04-deg strip. Until r4 the members were disjoint (0.08 y-spacing)
+    and the driver row never exercised the clip loop."""
     from .operators.geometry_ops import resolve_conflicts_agg
 
-    # build deliberately-overlapping rectangles: shift each polygon
-    # right by half its width within its row group
     p = D.polygons(spark, sf_dir)
+    rank = F.floor(F.col("polygon_id") / 5).cast("long")
+    xmin = 116.0 + (F.col("polygon_id") % 5) * 0.15
+    ymin = 39.5 + rank * 0.04
     shifted = p.select(
         F.col("polygon_id"),
         (F.col("polygon_id") % 5).alias("grp"),
-        F.col("xmin") + (F.col("polygon_id") % 2) * 0.04,
-        F.col("ymin"),
-        F.col("xmax") + (F.col("polygon_id") % 2) * 0.04,
-        F.col("ymax"),
-    ).toDF("polygon_id", "grp", "xmin", "ymin", "xmax", "ymax")
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 0.07 - rank * 0.004).alias("xmax"),
+        (ymin + 0.07).alias("ymax"),
+    )
     wkt = F.concat(
         F.lit("POLYGON (("),
         F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
