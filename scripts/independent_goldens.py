@@ -435,6 +435,44 @@ def check_video_rows(rows: list[dict], sf_dir: str = SF) -> list[str]:
     return errs
 
 
+# --- gps_kalman_drift: per-device (mean, max) raw-vs-smoothed planar
+# displacement over the serpentine fixture + point counts. The counts
+# are EXACT (the smoother adds columns, never rows -> device_counts).
+# Displacement bounds come from the filter physics on this geometry,
+# not from running the filter: on the straight 3 m/s rows a converged
+# constant-velocity Kalman has ~zero lag, so the only error sources
+# are the per-row velocity reversals (a 6 m/s step every ~34 s) and
+# the start transient; their decaying response keeps the mean well
+# inside [0.1, 1.5] m while the peak must EXCEED the steady lag but
+# stay below ~one step + overshoot (< 8 m). The window kills the
+# classic regressions: identity smoothing (0), a lag-one off-by-one
+# (= 3 m step -> mean out of range), and degree/metre unit mixups
+# (~1e-5 m).
+KALMAN_MEAN_RANGE = (0.1, 1.5)
+KALMAN_MAX_RANGE = (1.5, 8.0)
+
+
+def check_kalman_rows(rows: list[dict], sf_dir: str = SF) -> list[str]:
+    exp_n = device_counts(sf_dir)
+    errs = []
+    got = {int(r["device_id"]): r for r in rows}
+    if set(got) != set(exp_n) or len(rows) != len(exp_n):
+        errs.append(f"kalman: device set {sorted(got)} != {sorted(exp_n)}")
+    for d in sorted(set(got) & set(exp_n)):
+        r = got[d]
+        if int(r["n_points"]) != exp_n[d]:
+            errs.append(f"kalman dev {d}: n_points {r['n_points']} != {exp_n[d]}")
+        m = float(r["mean_displacement_m"])
+        if not (KALMAN_MEAN_RANGE[0] <= m <= KALMAN_MEAN_RANGE[1]):
+            errs.append(f"kalman dev {d}: mean_displacement {m} outside {KALMAN_MEAN_RANGE}")
+        mx = float(r["max_displacement_m"])
+        if not (KALMAN_MAX_RANGE[0] <= mx <= KALMAN_MAX_RANGE[1]):
+            errs.append(f"kalman dev {d}: max_displacement {mx} outside {KALMAN_MAX_RANGE}")
+        if mx < m:
+            errs.append(f"kalman dev {d}: max {mx} < mean {m}")
+    return errs
+
+
 #: name -> checker for every pin make_goldens gates beyond the flagships
 PIN_CHECKS = {
     "conflict_resolution": lambda rows, sf: check_conflict_rows(rows),
@@ -443,4 +481,5 @@ PIN_CHECKS = {
     "images_resize_stats": check_resize_stats_rows,
     "images_psnr_check": check_psnr_rows,
     "video_frame_sample": check_video_rows,
+    "gps_kalman_drift": check_kalman_rows,
 }

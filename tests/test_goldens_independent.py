@@ -164,3 +164,17 @@ class TestR4PinsAreIndependentlyValid:
         rows = _golden_rows("video_frame_sample")
         rows[7] = dict(rows[7], n_sampled=int(rows[7]["n_sampled"]) + 1)
         assert any("n_sampled" in e for e in check_video_rows(rows, SF))
+
+    def test_kalman_identity_smoothing_is_caught(self):
+        from independent_goldens import check_kalman_rows
+
+        rows = _golden_rows("gps_kalman_drift")
+        rows[2] = dict(rows[2], mean_displacement_m=0.0, max_displacement_m=0.0)
+        assert any("outside" in e for e in check_kalman_rows(rows, SF))
+
+    def test_kalman_point_count_is_caught(self):
+        from independent_goldens import check_kalman_rows
+
+        rows = _golden_rows("gps_kalman_drift")
+        rows[4] = dict(rows[4], n_points=int(rows[4]["n_points"]) - 1)
+        assert any("n_points" in e for e in check_kalman_rows(rows, SF))
