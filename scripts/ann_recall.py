@@ -27,7 +27,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = args[0] if args else "/root/testdata/sf0.01"
 
 
 def exact_truth(k: int = 3):
@@ -60,6 +61,82 @@ def recall(got: dict[int, list[int]], truth: dict[int, list[int]], k: int) -> fl
         hits += len(g & set(t[:k]))
         total += min(k, len(t))
     return hits / total if total else float("nan")
+
+
+def lsh_signatures(m_norm: np.ndarray, n_tables: int, n_planes: int) -> np.ndarray:
+    """Bucket id per (vector, table) under the engine's deterministic
+    plane family — recomputed here in numpy from the published formula
+    plane(t,j,d) = (((t*977+j)*131+d)*2654435761 % 2000)/1000 - 1, so
+    the sweep is independent of the Spark/DuckDB expressions."""
+    n, dim = m_norm.shape
+    d = np.arange(dim, dtype=np.int64)
+    buckets = np.zeros((n_tables, n), dtype=np.int64)
+    for t in range(n_tables):
+        for j in range(n_planes):
+            plane = ((((t * 977 + j) * 131 + d) * 2654435761) % 2000) / 1000.0 - 1.0
+            buckets[t] |= (m_norm @ plane > 0).astype(np.int64) << j
+    return buckets
+
+
+def sweep(recall_target: float = 0.9) -> None:
+    """(n_tables, n_planes) grid: recall@1 vs candidates scanned per
+    probe, against the independent numpy truth. Prints the grid and the
+    cheapest config meeting `recall_target` (VERDICT r3 #5)."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding::DOUBLE[] AS emb "
+        f"FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy(np.int64)
+    m = np.stack(df["emb"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    truth = exact_truth(k=1)
+    pmask = ids % 100 == 0
+    pidx = np.flatnonzero(pmask)
+    n = len(ids)
+
+    print(f"LSH sweep vs numpy exact truth ({SF}, {len(pidx)} probes, {n} vectors)\n")
+    print("| tables | bits | multiprobe | recall@1 | cand/probe | cand frac |")
+    print("|---|---|---|---|---|---|")
+    best = None
+    results = {}
+    for n_planes in (4, 6, 8, 10):
+        sig = lsh_signatures(m, 16, n_planes)
+        for n_tables in (4, 8, 12, 16):
+            b = sig[:n_tables]
+            for mp in (0, 1):
+                hits = 0
+                cand_total = 0
+                for pi in pidx:
+                    pb = b[:, pi]
+                    if mp == 0:
+                        coll = (b == pb[:, None]).any(axis=0)
+                    else:
+                        coll = np.zeros(n, dtype=bool)
+                        for t in range(n_tables):
+                            targets = [pb[t]] + [pb[t] ^ (1 << j) for j in range(n_planes)]
+                            coll |= np.isin(b[t], targets)
+                    coll[pi] = False
+                    cand_total += int(coll.sum())
+                    tn = truth[int(ids[pi])][0]
+                    if coll[np.searchsorted(ids, tn)]:
+                        hits += 1
+                r1 = hits / len(pidx)
+                cpp = cand_total / len(pidx)
+                results[(n_tables, n_planes, mp)] = (r1, cpp)
+                print(f"| {n_tables} | {n_planes} | {mp} | {r1:.3f} | {cpp:.0f} | {cpp / n:.3f} |")
+                if r1 >= recall_target and (best is None or cpp < results[best][1]):
+                    best = (n_tables, n_planes, mp)
+    if best:
+        r1, cpp = results[best]
+        print(
+            f"\ncheapest config with recall@1 >= {recall_target}: "
+            f"{best[0]} tables x {best[1]} bits, multiprobe={best[2]} "
+            f"(recall@1 {r1:.3f}, {cpp:.0f} cand/probe)"
+        )
+    else:
+        print(f"\nno config reached recall@1 >= {recall_target}")
+
 
 
 def main() -> None:
@@ -98,4 +175,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()
