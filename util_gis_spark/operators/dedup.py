@@ -184,16 +184,19 @@ def minhash_near_dup_pairs(
     fixed that (3.6 s -> 0.7 s measured). `persist=True` additionally
     caches the signature table across the three consumers — worth it
     when the corpus is large and the kernel dominates, but the cache
-    CANNOT be unpersisted from here (the result is lazy) and
-    accumulates for the session's lifetime, so it is off by default;
+    CANNOT be unpersisted from here (the result is lazy) — the returned
+    DataFrame carries it as `.sig_cache` (None when persist=False) so
+    callers can `.sig_cache.unpersist()` after consuming — and it is
+    off by default;
     for repeated or large runs the right tool is the bucketed stage
     (write_minhash_stage / minhash_pairs_from_stage), which also skips
     the band-join shuffle."""
     base = _sig_kernel(docs, shingler=shingler)
+    cache = None
     if persist:
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = cache = base.persist(StorageLevel.MEMORY_AND_DISK)
     # band join carries ONLY (doc_id, band, hash) — the wide shingle
     # arrays are re-attached by key afterwards, so the x4-band shuffle
     # stays narrow (at 10^12 docs the shingles would be TBs x4)
@@ -208,7 +211,11 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _jaccard_verify(cand, base.select("doc_id", "_hashes"), jaccard_threshold)
+    out = _jaccard_verify(cand, base.select("doc_id", "_hashes"), jaccard_threshold)
+    # release handle: the result is lazy, so the cache cannot be freed
+    # here; long-session callers drop it after consuming the result.
+    out.sig_cache = cache
+    return out
 
 
 def _jaccard_verify(
@@ -314,10 +321,11 @@ def minhash_dedup_incremental(
     are dropped as self-matches of re-ingested docs).
 
     The new batch's signatures are persisted across the two consumers
-    (bands + verify); the cache lives until the session drops the
-    DataFrame — callers landing MANY batches in one long session
-    should instead extend the stage with write_minhash_stage and use
-    the stage-vs-stage join."""
+    (bands + verify); the cache rides the returned DataFrame as
+    `.sig_cache` — a long-lived ingest loop should
+    `out.sig_cache.unpersist()` after consuming each batch's pairs, or
+    better, extend the stage with write_minhash_stage and use the
+    stage-vs-stage join."""
     from pyspark import StorageLevel
 
     spark = new_docs.sparkSession
@@ -337,12 +345,17 @@ def minhash_dedup_incremental(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _jaccard_verify(
+    out = _jaccard_verify(
         cand,
         base.select("doc_id", "_hashes"),
         jaccard_threshold,
         hashes_b=spark.table(f"{prefix}_hashes"),
     )
+    # the batch signature cache cannot be unpersisted here (the result
+    # is lazy); expose it so a long-lived ingest loop can release each
+    # batch after consuming its pairs: out.sig_cache.unpersist()
+    out.sig_cache = base
+    return out
 
 
 def minhash_near_dup_pairs_sql(

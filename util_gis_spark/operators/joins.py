@@ -428,7 +428,7 @@ def pip_join_cells(
     lat_col: str = "lat",
     salt_buckets: int = 0,
     carry_cols: list[str] | None = None,
-    attach_edges: str = "auto",
+    attach_edges: str = "inline",
     edges_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Inner PIP join, cell equi-join flavor (large-large path).
@@ -456,7 +456,11 @@ def pip_join_cells(
       broadcast needed, right when the polygon side is too big to fit
       executor memory.
     - "auto": broadcast when sum(length(wkt)) (a proportional proxy
-      for total edge bytes) fits `edges_broadcast_bytes`."""
+      for total edge bytes) fits `edges_broadcast_bytes`. NOTE: auto
+      runs that size aggregation EAGERLY at call time (the mode shapes
+      the plan, so it cannot wait for the first action) — hence the
+      lazy "inline" default here; the pip_join planner measures the
+      layer once anyway and passes the right mode explicitly."""
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
@@ -700,6 +704,18 @@ def pip_join(
         # the layer is already collected: size the edge payload from it
         n_edges = sum(len(part) for _p, parsed, _e in polys for part in _edge_parts_from_parsed(parsed))
         return _cells(res, "broadcast" if n_edges * 32 <= edges_cap else "inline")
+    if kw.get("salt_buckets", 0):
+        # salting exists to spread a hot shuffle key; the hybrid flavor
+        # has no shuffle (broadcast join), so the option cannot apply —
+        # say so instead of silently dropping a skew-tuning attempt.
+        import warnings
+
+        warnings.warn(
+            "pip_join: salt_buckets only applies to the shuffled cells "
+            "path; the planner chose the broadcast hybrid flavor (no "
+            "shuffle to salt), so it is ignored here",
+            stacklevel=2,
+        )
     return pip_join_hybrid(
         points_df,
         polygons_wkt_df,
