@@ -4,7 +4,17 @@ pillars (cell-join PIP, kNN, GPS pipeline, dedup/text, ANN).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...,
+   "loadavg": {...}, "quality": {...}, "scale_throughput_ratio_10x": ...}
+
+Noise protocol (VERDICT r3 #7): loadavg is recorded at start and
+before the headline; the headline reps run FIRST and are REPEATED at
+the very end (tail placement), the reported number is the min across
+both placements — a co-tenant spike at either end cannot own the
+headline. Ladder metrics are throughput RATIOS (rows/s at 10x over
+rows/s at 1x; 1.0 = perfectly linear, >1 = the 1x run was
+overhead-dominated) — the old time-ratio slope is still emitted but
+labeled overhead-inclusive.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
@@ -34,6 +44,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     factor = int(os.environ.get("BENCH_IMAGE_FACTOR", "400"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    loadavg = {"start": round(os.getloadavg()[0], 2)}
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
@@ -74,10 +86,13 @@ def main() -> None:
         tiled = joins.tile_assignment(joined, res=16)
         return tiled.groupBy("polygon_id").agg(F.count("*").alias("n")).count()
 
-    run("spatial_join_tile_assign", headline, reps=3)
+    loadavg["headline_head"] = round(os.getloadavg()[0], 2)
+    run("spatial_join_tile_assign_head", headline, reps=3)
+    timings["spatial_join_tile_assign"] = timings["spatial_join_tile_assign_head"]
+    counts["spatial_join_tile_assign"] = counts.pop("spatial_join_tile_assign_head")
 
     if os.environ.get("BENCH_ONLY") == "headline":
-        _emit(sf, cpus, factor, n_images, timings, counts)
+        _emit(sf, cpus, factor, n_images, timings, counts, loadavg)
         return
 
     # --- large-large flavor: cell equi-join PIP, shuffled cell map
@@ -165,6 +180,29 @@ def main() -> None:
 
     run("split_road_320dev", plots_many, reps=2)
 
+    # --- text/dedup pillar at generated scale (VERDICT r3 #4): the
+    # driver documents stop at sf0.1 (5k docs), so dedup had no
+    # measured growth slope. documents_range generates any size with
+    # linear near-dup pairs (k%17==1 mutates the previous doc) and a
+    # 30% hot-prefix skew (the text analogue of the hot spatial cell,
+    # concentrating those shingle bands into hot buckets).
+    n_docs_gen = int(os.environ.get("BENCH_DOC_COUNT", "5000"))
+    docs_gen = D.documents_range(spark, n_docs_gen, cpus)
+
+    def minhash_gen():
+        from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+        return minhash_near_dup_pairs(docs_gen).count()
+
+    run("minhash_dedup_gen", minhash_gen, reps=2)
+
+    def simhash_gen():
+        from util_gis_spark.operators.dedup import simhash_near_dup_pairs
+
+        return simhash_near_dup_pairs(docs_gen).count()
+
+    run("simhash_pairs_gen", simhash_gen, reps=2)
+
     # --- 10x data-growth ladder (VERDICT r2 'Next round' #7): the same
     # two spatial jobs at sf1-equivalent image volume (10x rows from the
     # same deterministic generator — documents/events are driver-
@@ -189,11 +227,137 @@ def main() -> None:
             reps=2,
         )
 
-    _emit(sf, cpus, factor, n_images, timings, counts)
+        docs_gen10 = D.documents_range(spark, n_docs_gen * 10, cpus * 2)
+
+        def minhash_gen10():
+            from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+            return minhash_near_dup_pairs(docs_gen10).count()
+
+        run("minhash_dedup_gen_10x", minhash_gen10, reps=1)
+
+        def simhash_gen10():
+            from util_gis_spark.operators.dedup import simhash_near_dup_pairs
+
+            return simhash_near_dup_pairs(docs_gen10).count()
+
+        run("simhash_pairs_gen_10x", simhash_gen10, reps=1)
+
+    # --- headline tail placement (noise hardening, VERDICT r3 #7):
+    # repeat the headline now that every other job has run; keep the
+    # min across both placements as THE headline.
+    loadavg["headline_tail"] = round(os.getloadavg()[0], 2)
+    run("spatial_join_tile_assign_tail", headline, reps=2)
+    counts["spatial_join_tile_assign"] = counts.pop("spatial_join_tile_assign_tail")
+    timings["spatial_join_tile_assign"] = min(
+        timings["spatial_join_tile_assign_head"], timings["spatial_join_tile_assign_tail"]
+    )
+
+    _emit(sf, cpus, factor, n_images, timings, counts, loadavg, n_docs_gen)
 
 
-def _emit(sf, cpus, factor, n_images, timings, counts):
+def _quality(sf_dir: str) -> dict:
+    """Machine-readable quality section (VERDICT r3 #6): ANN recall of
+    the shipped default config (numpy, independent of the engine),
+    goldens-independence status, and the latest measured scaling
+    efficiency — so quality regressions show up in the round artifact,
+    not just in docs."""
+    out = {}
+    try:
+        import duckdb
+        import numpy as np
+
+        from util_gis_spark.operators.ann import MULTIPROBE, N_PLANES, N_TABLES
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"SELECT vec_id, embedding::DOUBLE[] AS emb "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).df()
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["emb"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        n, dim = m.shape
+        pidx = np.flatnonzero(ids % 100 == 0)
+        sims = m[pidx] @ m.T
+        truth = []
+        for r_i, pi in enumerate(pidx):
+            srow = sims[r_i].copy()
+            srow[pi] = -np.inf
+            truth.append(int(np.argmax(srow)))
+        d = np.arange(dim, dtype=np.int64)
+        sig = np.zeros((N_TABLES, n), dtype=np.int64)
+        for t in range(N_TABLES):
+            for j in range(N_PLANES):
+                plane = ((((t * 977 + j) * 131 + d) * 2654435761) % 2000) / 1000.0 - 1.0
+                sig[t] |= (m @ plane > 0).astype(np.int64) << j
+        hits = cand = 0
+        for r_i, pi in enumerate(pidx):
+            pb = sig[:, pi]
+            if MULTIPROBE:
+                coll = np.zeros(n, dtype=bool)
+                for t in range(N_TABLES):
+                    coll |= np.isin(sig[t], [pb[t]] + [pb[t] ^ (1 << j) for j in range(N_PLANES)])
+            else:
+                coll = (sig == pb[:, None]).any(axis=0)
+            coll[pi] = False
+            cand += int(coll.sum())
+            hits += int(coll[truth[r_i]])
+        out["ann_recall_at1"] = round(hits / len(pidx), 3)
+        out["ann_cand_frac"] = round(cand / len(pidx) / n, 3)
+        out["ann_config"] = f"{N_TABLES}x{N_PLANES}bits_mp{MULTIPROBE}"
+    except Exception as exc:  # quality must never sink the bench
+        out["ann_error"] = str(exc)[:200]
+    try:
+        import duckdb
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from independent_goldens import PIN_CHECKS, check_flagship_rows
+
+        from util_gis_spark.goldens import GOLDEN_SQL
+
+        errs = []
+        for name in ("farm_plots", "split_road_plots"):
+            rows = duckdb.connect().execute(GOLDEN_SQL[name]).df().to_dict("records")
+            errs += check_flagship_rows(name, rows, "/root/testdata/sf0.01")
+        for name, check in PIN_CHECKS.items():
+            rows = duckdb.connect().execute(GOLDEN_SQL[name]).df().to_dict("records")
+            errs += check(rows, "/root/testdata/sf0.01")
+        out["goldens_independent"] = "pass" if not errs else f"{len(errs)} violations"
+    except Exception as exc:
+        out["goldens_error"] = str(exc)[:200]
+    try:
+        sl = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json")
+        with open(sl) as f:
+            sc = json.load(f)
+        out["scaling_efficiency_min"] = sc.get("efficiency_min")
+        out["scaling_n_images"] = sc.get("n_images")
+        out["scaling_measured_utc"] = sc.get("utc")
+    except Exception:
+        out["scaling_efficiency_min"] = None
+    return out
+
+
+def _emit(sf, cpus, factor, n_images, timings, counts, loadavg=None, n_docs_gen=None):
     headline_sec = timings["spatial_join_tile_assign"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ladder_rows = {
+        "spatial_join_tile_assign": n_images,
+        "pip_join_cells": n_images,
+        "minhash_dedup_gen": n_docs_gen,
+        "simhash_pairs_gen": n_docs_gen,
+    }
+    ratios = {}
+    slopes = {}
+    for q, rows1 in ladder_rows.items():
+        if f"{q}_10x" in timings and timings.get(q) and rows1:
+            slopes[q] = round(timings[f"{q}_10x"] / timings[q], 2)
+            # throughput ratio: rows/s at 10x over rows/s at 1x.
+            # 1.0 = linear; >1 means the 1x run was overhead-dominated
+            # (the honest reading of a sub-10 time slope).
+            ratios[q] = round(
+                (10 * rows1 / timings[f"{q}_10x"]) / (rows1 / timings[q]), 2
+            )
     print(
         json.dumps(
             {
@@ -206,12 +370,14 @@ def _emit(sf, cpus, factor, n_images, timings, counts):
                 "images_per_sec": round(n_images / headline_sec, 1) if headline_sec else None,
                 "cpus": cpus,
                 "image_factor": factor,
+                "n_docs_gen": n_docs_gen,
                 "row_counts": counts,
-                "scale_slope_10x": {
-                    q: round(timings[f"{q}_10x"] / timings[q], 2)
-                    for q in ("spatial_join_tile_assign", "pip_join_cells")
-                    if f"{q}_10x" in timings and timings.get(q)
-                },
+                "loadavg": loadavg or {},
+                # time-ratio slope, kept for round-over-round continuity;
+                # overhead-INCLUSIVE (see scale_throughput_ratio_10x)
+                "scale_slope_10x_overhead_incl": slopes,
+                "scale_throughput_ratio_10x": ratios,
+                "quality": _quality(sf_dir),
             }
         )
     )

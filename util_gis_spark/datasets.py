@@ -258,6 +258,57 @@ def images_range(
     return df
 
 
+def documents_range(spark: SparkSession, n_docs: int, partitions: int) -> DataFrame:
+    """Bench-only deterministic document generator (the text analogue
+    of images_range, VERDICT r3 'Next round' #4): (doc_id, text) rows
+    straight from spark.range, all JVM expressions, any size.
+
+    Built-in structure so dedup benches exercise real paths:
+    - NEAR-DUP PAIRS: every doc with doc_id % 17 == 1 reuses the
+      previous doc's word seed for its first 37 of 40 words and
+      mutates the last 3 -> ~5.9% of docs form a (k-1, k) near-dup
+      pair with shingle overlap ~36/43, well above the 0.5 Jaccard
+      verify bar. Pair volume is LINEAR in n (no quadratic blowup).
+    - HOT-KEY SKEW: 30% of docs (doc_id % 10 < 3) share a constant
+      10-word prefix, concentrating those shingles' bands into hot
+      buckets — the text analogue of the 30% hot spatial cell, so the
+      band join's skew handling is actually exercised.
+    Words are 8-hex-char md5 prefixes of (seed, position), so text is
+    deterministic across engines and runs."""
+    k = F.col("id").cast("long")
+    seed = (k - F.when(k % 17 == 1, 1).otherwise(0)).cast("string")
+    hot = (k % 10) < 3
+    word = lambda s, j: F.substring(  # noqa: E731
+        F.md5(F.concat(s, F.lit("_"), j.cast("string"))), 1, 8
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(36)), lambda j: word(seed, j)
+        ),
+        " ",
+    )
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(37), F.lit(39)), lambda j: word(k.cast("string"), j)
+        ),
+        " ",
+    )
+    prefix = F.when(
+        hot,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(9)), lambda j: word(F.lit("HOT"), j)), " "
+        ),
+    ).otherwise(
+        F.array_join(
+            F.transform(F.sequence(F.lit(40), F.lit(49)), lambda j: word(seed, j)), " "
+        )
+    )
+    return spark.range(0, n_docs, 1, partitions).select(
+        k.alias("doc_id"),
+        F.concat_ws(" ", prefix, body, tail).alias("text"),
+    )
+
+
 def images_with_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """images + a deterministic `bytes` binary column (pseudo-image:
     the repeated md5 of the image_id — stands in for encoded pixels;

@@ -453,15 +453,18 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     straddle both halves; each half carries a full 16 effective bits,
     see simhash_token_hash_expr), then exact popcount verify. All JVM."""
     s = simhash_docs(docs)
-    bands = None
-    for b in range(2):
-        part = s.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            ((F.col("simhash") / (1 << (16 * b))).cast("long") % 65536).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE explode, not a 2-way union: the union form re-ran the whole
+    # signature subplan once per branch AND per join side (the same
+    # plan-recomputation disease the r3 minhash fix cured; measured
+    # here 29.7 s -> 4.6 s at 2k generated docs, identical pairs).
+    bands = s.select(
+        "doc_id", "simhash", F.explode(F.expr("sequence(0, 1)")).alias("band")
+    ).withColumn(
+        "bh",
+        F.when(F.col("band") == 0, F.col("simhash") % 65536).otherwise(
+            (F.col("simhash") / 65536).cast("long") % 65536
+        ),
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bh")
     cand = (
