@@ -250,7 +250,11 @@ def _jaccard_verify(
 
 
 def write_minhash_stage(
-    docs: DataFrame, prefix: str, n_buckets: int = 16, shingler: str = "word_pair"
+    docs: DataFrame,
+    prefix: str,
+    n_buckets: int = 16,
+    shingler: str = "word_pair",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the MinHash signature stage as bucketed tables so
     REPEAT dedup runs (the normal warehouse cadence: new shard arrives,
@@ -265,7 +269,10 @@ def write_minhash_stage(
       hashes, bucketed by doc_id for the candidate re-attach joins.
 
     Local managed tables stand in for Iceberg `bucket(N, key)` partition
-    transforms at warehouse scale."""
+    transforms at warehouse scale. `mode="append"` extends an existing
+    stage with a newly-ingested batch (the post-dedup step of the
+    incremental cadence: dedup the batch against the stage, then fold
+    it in)."""
     from pyspark import StorageLevel
 
     from ..io.bucketed import write_bucketed
@@ -277,10 +284,10 @@ def write_minhash_stage(
         "doc_id",
         F.concat_ws(":", F.col("_b.band").cast("string"), F.col("_b.bh")).alias("bkey"),
     )
-    write_bucketed(bands, f"{prefix}_bands", bucket_col="bkey", n_buckets=n_buckets)
+    write_bucketed(bands, f"{prefix}_bands", bucket_col="bkey", n_buckets=n_buckets, mode=mode)
     write_bucketed(
         base.select("doc_id", "_hashes"), f"{prefix}_hashes", bucket_col="doc_id",
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, mode=mode,
     )
     base.unpersist()
 

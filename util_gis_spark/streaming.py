@@ -227,15 +227,16 @@ def simhash_dup_stream(
     from .operators.dedup import simhash_docs
 
     s = simhash_docs(docs_stream)
-    bands = None
-    for b in range(2):
-        part = s.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            ((F.col("simhash") / (1 << (16 * b))).cast("long") % 65536).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # single explode, not a 2-way union — the union form re-ran the
+    # signature subplan per branch (see the batch operator's r4 note)
+    bands = s.select(
+        "doc_id", "simhash", F.explode(F.expr("sequence(0, 1)")).alias("band")
+    ).withColumn(
+        "bh",
+        F.when(F.col("band") == 0, F.col("simhash") % 65536).otherwise(
+            (F.col("simhash") / 65536).cast("long") % 65536
+        ),
+    )
 
     out_schema = StructType(
         [
