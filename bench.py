@@ -236,6 +236,16 @@ def main() -> None:
 
         run("minhash_dedup_gen_10x", minhash_gen10, reps=1)
 
+        def minhash_gen10_capped():
+            from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+            # band-bucket cap = the boilerplate mitigation (hot-prefix
+            # buckets yield quadratic candidates that all fail verify);
+            # same pair set on this corpus, fewer candidate verifies
+            return minhash_near_dup_pairs(docs_gen10, max_band_bucket=32).count()
+
+        run("minhash_dedup_gen_10x_capped", minhash_gen10_capped, reps=1)
+
         def simhash_gen10():
             from util_gis_spark.operators.dedup import simhash_near_dup_pairs
 

@@ -561,3 +561,28 @@ class TestEdgeAttachment:
             }
             assert got == want, kw
         assert len(want) > 0
+
+
+class TestMinhashBandCap:
+    def test_cap_drops_only_boilerplate_buckets(self, spark):
+        """max_band_bucket must keep every pair from small buckets and
+        drop candidates only via oversized (boilerplate) buckets. On
+        the generated corpus the surviving pair set is identical
+        because boilerplate-bucket pairs fail the Jaccard verify."""
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+        docs = D.documents_range(spark, 600, 8)
+        exact = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_near_dup_pairs(docs).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_near_dup_pairs(docs, max_band_bucket=16).collect()
+        }
+        assert capped <= exact
+        assert capped == exact  # boilerplate pairs all fail verify here
+        # sanity: a cap of 1 kills every bucket with a partner -> no pairs
+        none = minhash_near_dup_pairs(docs, max_band_bucket=1).count()
+        assert none == 0
