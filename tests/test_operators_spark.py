@@ -586,3 +586,17 @@ class TestMinhashBandCap:
         # sanity: a cap of 1 kills every bucket with a partner -> no pairs
         none = minhash_near_dup_pairs(docs, max_band_bucket=1).count()
         assert none == 0
+
+
+class TestSimhashKernelParity:
+    def test_arrow_kernel_equals_hof(self, spark, sf_dir):
+        """The r4 Arrow simhash kernel must be bit-identical to the
+        all-JVM HOF formulation it replaced (same md5 token hashes,
+        same strict-majority vote)."""
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.dedup import simhash_docs, simhash_docs_hof
+
+        docs = D.load(spark, sf_dir, "documents")
+        a = {(r["doc_id"], r["simhash"]) for r in simhash_docs(docs).collect()}
+        b = {(r["doc_id"], r["simhash"]) for r in simhash_docs_hof(docs).collect()}
+        assert a == b and len(a) > 0

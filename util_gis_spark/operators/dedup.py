@@ -457,7 +457,54 @@ def simhash_sql() -> str:
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — token-level 32-bit simhash (32 effective bits)."""
+    """(doc_id, simhash) — token-level 32-bit simhash (32 effective
+    bits). Arrow kernel (r4): the HOF formulation ran 32 filter passes
+    over the token-hash array per row (one per fingerprint bit), which
+    was the measured floor of the generated-corpus ladder; the kernel
+    computes the same md5 token hashes (hashlib == SQL md5
+    byte-for-byte, the same equivalence the MinHash kernel relies on)
+    and the 32 majority votes as one numpy bit-matrix reduction —
+    bit-identical to simhash_expr()/the DuckDB twin, asserted by the
+    docs_simhash oracle and a dedicated parity test. Works unchanged
+    under Structured Streaming (stateless mapInPandas)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+    weights = (1 << np.arange(SIMHASH_BITS, dtype=np.int64))
+
+    def run(batches):
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = {t for t in text.split() if t}
+                if not toks:
+                    continue
+                h = np.array(
+                    [
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MOD32
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (h[:, None] >> np.arange(SIMHASH_BITS)) & 1
+                sim = int(weights[2 * bits.sum(axis=0) > len(h)].sum())
+                ids.append(doc_id)
+                sims.append(sim)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sims})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
+def simhash_docs_hof(docs: DataFrame) -> DataFrame:
+    """The all-JVM HOF formulation simhash_docs replaced — kept as the
+    parity twin (tests assert kernel == HOF row-for-row) and as the
+    fallback if a deployment bans Python workers entirely."""
     return (
         docs.select("doc_id", "text")
         .withColumn("_toks", _toks())
