@@ -600,3 +600,40 @@ class TestSimhashKernelParity:
         a = {(r["doc_id"], r["simhash"]) for r in simhash_docs(docs).collect()}
         b = {(r["doc_id"], r["simhash"]) for r in simhash_docs_hof(docs).collect()}
         assert a == b and len(a) > 0
+
+
+class TestKnnIndexHandle:
+    def test_prebuilt_index_matches_direct(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators import joins
+
+        cands = D.polygons(spark, sf_dir).select(
+            F.col("polygon_id").alias("cand_id"),
+            ((F.col("xmin") + F.col("xmax")) / 2.0).alias("lon"),
+            ((F.col("ymin") + F.col("ymax")) / 2.0).alias("lat"),
+        )
+        probes = D.images(spark, sf_dir).select(
+            F.col("image_key").alias("probe_id"), "lon", "lat"
+        )
+        idx = joins.build_knn_index(spark, cands)
+        assert idx.n_candidates == cands.count()
+        direct = {
+            (r["probe_id"], r["nearest_id"], r["dist_m"])
+            for r in joins.knn_join_grid(
+                probes,
+                [(int(r["cand_id"]), float(r["lon"]), float(r["lat"])) for r in cands.collect()],
+            ).collect()
+        }
+        via_idx_1 = {
+            (r["probe_id"], r["nearest_id"], r["dist_m"])
+            for r in joins.knn_join_grid(probes, idx).collect()
+        }
+        via_idx_2 = {
+            (r["probe_id"], r["nearest_id"], r["dist_m"])
+            for r in joins.knn_join_grid(probes.limit(50), idx).collect()
+        }
+        assert via_idx_1 == direct and len(direct) > 0
+        assert via_idx_2 <= via_idx_1 and len(via_idx_2) > 0
+        idx.unpersist()

@@ -891,6 +891,49 @@ def _grid_nearest_all(plon, plat, idx, max_levels: int):
     return out_id, out_d
 
 
+class KnnGridIndex:
+    """Reusable broadcast grid index over one candidate set (the
+    executor-side STRtree build paid once per session instead of per
+    knn_join_grid call). Build via build_knn_index; release the
+    executor copies with .unpersist() when done."""
+
+    def __init__(self, idx: dict, bidx):
+        self.idx = idx
+        self.bidx = bidx
+        self.n_candidates = len(idx["cid"])
+
+    def unpersist(self) -> None:
+        self.bidx.unpersist()
+
+
+def build_knn_index(
+    spark,
+    candidates_df: DataFrame,
+    cand_id_col: str = "cand_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> KnnGridIndex:
+    """Arrow-collect a candidate DataFrame and build the broadcast CSR
+    grid index once. The returned handle feeds knn_join_grid directly:
+
+        idx = build_knn_index(spark, stations)
+        a = knn_join_grid(probes_monday, idx)
+        b = knn_join_grid(probes_tuesday, idx)   # no rebuild
+        idx.unpersist()
+    """
+    import numpy as np
+
+    cpdf = candidates_df.select(cand_id_col, lon_col, lat_col).toPandas()
+    idx = _cand_grid_index(
+        (
+            cpdf[cand_id_col].to_numpy(np.int64),
+            cpdf[lon_col].to_numpy(np.float64),
+            cpdf[lat_col].to_numpy(np.float64),
+        )
+    )
+    return KnnGridIndex(idx, spark.sparkContext.broadcast(idx))
+
+
 def knn_join_grid(
     probes_df: DataFrame,
     candidates: list[tuple],
@@ -907,13 +950,22 @@ def knn_join_grid(
     accept guard, in-kernel escalation to 2x coarser rings, and a
     final exact brute-force pass for the (few) still-unaccepted
     probes. Output rows are EXACTLY knn_join_broadcast's (same
-    distance, same (dist, cand_id) tie-break)."""
+    distance, same (dist, cand_id) tie-break).
+
+    `candidates` also accepts a handle from `build_knn_index` — a
+    session that runs MANY joins against one candidate set then pays
+    the collect + CSR build + task broadcast once instead of per
+    call."""
     import numpy as np
     import pandas as pd
 
-    idx = _cand_grid_index(candidates)
-    spark = probes_df.sparkSession
-    bidx = spark.sparkContext.broadcast(idx)
+    if isinstance(candidates, KnnGridIndex):
+        idx, bidx = candidates.idx, candidates.bidx
+        spark = probes_df.sparkSession
+    else:
+        idx = _cand_grid_index(candidates)
+        spark = probes_df.sparkSession
+        bidx = spark.sparkContext.broadcast(idx)
 
     schema = T.StructType(
         [
