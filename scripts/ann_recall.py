@@ -167,6 +167,15 @@ def main() -> None:
         ivf = collect(ann_ivf_topk(emb, nprobe=nprobe))
         rows.append((f"IVF nprobe={nprobe}", recall(ivf, truth, 1), recall(ivf, truth, 3)))
 
+    from util_gis_spark.operators.ann import kmeans_centroids
+
+    cents = kmeans_centroids(emb, k=16)
+    for nprobe in (2, 4, 8):
+        ivf = collect(ann_ivf_topk(emb, nprobe=nprobe, centroids=cents))
+        rows.append(
+            (f"IVF k-means 16 lists, nprobe={nprobe}", recall(ivf, truth, 1), recall(ivf, truth, 3))
+        )
+
     print(f"ANN recall vs independent numpy exact truth ({SF}, {len(truth)} probes)\n")
     print("| path | recall@1 | recall@3 |")
     print("|---|---|---|")

@@ -637,3 +637,65 @@ class TestKnnIndexHandle:
         assert via_idx_1 == direct and len(direct) > 0
         assert via_idx_2 <= via_idx_1 and len(via_idx_2) > 0
         idx.unpersist()
+
+
+class TestIvfKmeans:
+    def test_kmeans_ivf_matches_numpy_replica(self, spark, sf_dir):
+        """ann_ivf_topk with the sampled-k-means quantizer must equal a
+        straight-line numpy replica of the whole search (same
+        centroids -> same assignment tie-breaks -> same nprobe lists
+        -> same exact re-rank) row for row."""
+        import duckdb
+        import numpy as np
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import ann_ivf_topk, kmeans_centroids
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        cents = kmeans_centroids(emb, k=8, iters=5)
+        assert len(cents) == 8
+        got = {
+            (r["probe_id"], r["neighbor_id"], r["cos_sim"], r["list_id"])
+            for r in ann_ivf_topk(
+                emb, probe_filter="vec_id % 10 = 0", nprobe=3, centroids=cents
+            ).collect()
+        }
+
+        df = duckdb.connect().execute(
+            f"SELECT vec_id, embedding::DOUBLE[] AS v "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).df()
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["v"].to_numpy())
+        C = np.stack([np.asarray(c) for _i, c in cents])
+        dots = m @ C.T
+        # engine tie-break: dot desc, list_id asc -> argmax keeps first max
+        order = np.argsort(-dots, axis=1, kind="stable")
+        assign = order[:, 0]
+        want = set()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for i, pid in enumerate(ids):
+            if pid % 10 != 0:
+                continue
+            probe_lists = set(order[i, :3])
+            cand = [
+                j
+                for j in range(len(ids))
+                if assign[j] in probe_lists and ids[j] != pid
+            ]
+            scored = sorted(
+                (
+                    (-round(float(mn[i] @ mn[j]), 5), int(ids[j]), int(assign[j]))
+                    for j in cand
+                ),
+            )[:3]
+            for negcos, nid, lid in scored:
+                want.add((int(pid), nid, -negcos, lid))
+        assert got == want and len(got) > 0
+
+    def test_kmeans_deterministic(self, spark, sf_dir):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import kmeans_centroids
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        assert kmeans_centroids(emb, k=5, iters=3) == kmeans_centroids(emb, k=5, iters=3)

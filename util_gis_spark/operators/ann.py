@@ -8,13 +8,15 @@
   (0-based transform index) and DuckDB (1-based) and the bucketing is
   engine-independent. Probes only compare against candidates in their
   bucket: O(P x N / 2^bits) — recall traded via `bits`.
-- IVF variant (ann_ivf_topk): a coarse quantizer (per-label centroids
-  — a deterministic stand-in for k-means; at 10^12 scale the lists
-  would come from a sampled k-means with ~sqrt(N) lists) assigns every
+- IVF variant (ann_ivf_topk): a coarse quantizer assigns every
   vector to its nearest-centroid inverted list; probes scan only their
   top-`nprobe` lists, exact cosine re-ranks. All JVM: the centroid
   table is a broadcast, the list scan is an equi-join on list id (the
-  shuffle key at scale; salt hot lists like any skewed join).
+  shuffle key at scale; salt hot lists like any skewed join). Two
+  quantizers: per-label means (SQL-expressible -> the driver oracle
+  stays a real DuckDB twin) and kmeans_centroids (deterministic
+  sampled k-means trained on a bounded driver sample — the real
+  10^12-scale recipe, ~sqrt(N) lists, assignment distributed).
 """
 
 from __future__ import annotations
@@ -149,16 +151,77 @@ def _dot_expr(a: str, b: str):
     )
 
 
+def kmeans_centroids(
+    embeddings_df: DataFrame,
+    k: int,
+    iters: int = 10,
+    sample: int = 100_000,
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled k-means for the IVF coarse quantizer —
+    the real 10^12-scale recipe (train on a bounded driver sample,
+    assign the full corpus distributed). Lloyd's iterations on
+    L2-normalized vectors with spherical (max-dot) assignment;
+    k-means++-style seeding from a seeded RNG; empty clusters respawn
+    on the farthest point. Returns [(list_id, centroid)] with
+    list_id = 0..k-1 — feed to ann_ivf_topk(centroids=...).
+
+    Everything is deterministic (fixed seed, fixed sample order), so
+    two runs — or the engine and a numpy replica in the tests — build
+    the identical quantizer."""
+    import numpy as np
+
+    pdf = (
+        embeddings_df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(sample)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        return []
+    m = np.stack(pdf["v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    n = len(m)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - dot)
+    cent = [m[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([m @ c for c in cent]), axis=0)
+        d = np.clip(d, 1e-12, None)
+        cent.append(m[int(rng.choice(n, p=d / d.sum()))])
+    C = np.stack(cent)
+    for _ in range(iters):
+        assign = np.argmax(m @ C.T, axis=1)
+        for j in range(k):
+            members = m[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+            else:  # respawn on the point farthest from its centroid
+                far = int(np.argmin((m * C[assign]).sum(axis=1)))
+                C[j] = m[far]
+    return [(j, C[j].tolist()) for j in range(k)]
+
+
 def ann_ivf_topk(
     embeddings_df: DataFrame,
     probe_filter: str = "vec_id % 100 = 0",
     k: int = 3,
     nprobe: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF top-k: coarse-quantize every vector to its max-dot centroid
-    list (centroids = per-label elementwise means), probe the top
-    `nprobe` lists per query vector, exact-cosine re-rank within them.
-    Output (probe_id, neighbor_id, cos_sim, list_id)."""
+    list, probe the top `nprobe` lists per query vector, exact-cosine
+    re-rank within them. Output (probe_id, neighbor_id, cos_sim,
+    list_id).
+
+    `centroids=None` uses per-label elementwise means — deterministic
+    and SQL-expressible, which is what keeps the driver oracle a real
+    DuckDB twin. Pass kmeans_centroids(...) output for the production
+    quantizer (sampled k-means, ~sqrt(N) lists at scale); the list
+    scan and re-rank are identical either way — the centroid table is
+    a broadcast, the list id is the shuffle key."""
     e = embeddings_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -169,11 +232,21 @@ def ann_ivf_topk(
             [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
         )
     dim = first["d"]
-    cents = (
-        e.groupBy("label")
-        .agg(*[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(dim)])
-        .select(F.col("label").alias("list_id"), F.array(*[f"_c{i}" for i in range(dim)]).alias("c"))
-    )
+    if centroids is not None:
+        spark = embeddings_df.sparkSession
+        cents = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in centroids],
+            "list_id long, c array<double>",
+        )
+    else:
+        cents = (
+            e.groupBy("label")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(dim)])
+            .select(
+                F.col("label").alias("list_id"),
+                F.array(*[f"_c{i}" for i in range(dim)]).alias("c"),
+            )
+        )
     scored_lists = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "list_id", _dot_expr("v", "c").alias("_dot")
     )
