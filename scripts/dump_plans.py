@@ -139,6 +139,52 @@ def main() -> None:
         )
     )
 
+    # ANN paths (r4): multiprobe LSH + IVF list scan
+    from util_gis_spark.operators.ann import ann_ivf_topk, ann_lsh_topk
+
+    emb = D.load(spark, SF, "embeddings")
+    sections.append(
+        (
+            "ANN: multiprobe LSH top-k (16 tables x 6 bits, 1-bit flips)",
+            "Verify: (1) bucket signatures are pure JVM expressions "
+            "(aggregate/transform HOFs) — no Python anywhere; (2) the probe "
+            "side explodes tables x (1+bits) flip masks, the candidate side "
+            "tables only — index size does not grow with multiprobe; (3) "
+            "the candidate join is an equi-join on (t, bucket) — the "
+            "shuffle key at scale; (4) dropDuplicates before the cosine "
+            "re-rank caps re-scoring at one per (probe, candidate).",
+            plan_of(ann_lsh_topk(emb)),
+        )
+    )
+    sections.append(
+        (
+            "ANN: IVF list scan + exact re-rank (label quantizer)",
+            "Verify: (1) centroid table rides a BroadcastExchange (at "
+            "sqrt(N) lists it stays a broadcast even at 10^12 vectors); "
+            "(2) every vector joins only its assigned list — the candidate "
+            "join is an equi-join on list_id; (3) re-rank is a window "
+            "row_number per probe, JVM-side cosine.",
+            plan_of(ann_ivf_topk(emb)),
+        )
+    )
+
+    # dedup band join (r4): single-explode minhash plan
+    from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = D.load(spark, SF, "documents")
+    sections.append(
+        (
+            "Dedup: MinHash-LSH band join (single explode)",
+            "Verify: (1) the signature kernel (MapInPandas) appears ONCE "
+            "per join side, not once per band — bands come from ONE "
+            "explode of the 4-entry band array; (2) the band self-join "
+            "shuffles only the NARROW (doc_id, band, bh) projection; (3) "
+            "the Jaccard verify re-attaches the wide hash arrays by doc_id "
+            "join AFTER candidate dedup.",
+            plan_of(minhash_near_dup_pairs(docs)),
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)\n\n"
