@@ -170,3 +170,75 @@ class TestGridNearestProperties:
         want_d = d[np.arange(len(plon)), j]
         assert (got_id == want_id).all()
         assert np.allclose(got_d, want_d, rtol=0, atol=1e-9)
+
+
+class TestTimeWindowsSqlTwinProperty:
+    """The r4 SQL twin for split_time_windows claims exact equivalence
+    with the state machine WHENEVER the cadence-switch precondition
+    holds (no >= MIN_CONSECUTIVE equal-dt run). Differential-test that
+    claim on RANDOM dt sequences, not just the driver fixture."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        dts=st.lists(
+            st.integers(min_value=1, max_value=400), min_size=1, max_size=60
+        ),
+        dev2=st.booleans(),
+    )
+    def test_sql_equals_machine_on_random_cadences(self, dts, dev2):
+        import duckdb
+        import pandas as pd
+
+        from util_gis_spark.operators.windows import (
+            MIN_CONSECUTIVE,
+            np_split_time_windows,
+            split_time_windows_summary_sql,
+        )
+
+        # enforce the precondition (max_size=60 could produce a 59-run)
+        run = 1
+        for a, b in zip(dts, dts[1:]):
+            run = run + 1 if a == b else 1
+            if run >= MIN_CONSECUTIVE:
+                return  # precondition violated -> twin makes no claim
+        base = 1_700_000_000
+        secs = np.cumsum([0] + dts) + base
+        rows = []
+        for dev in ([0, 1] if dev2 else [0]):
+            for i, sc in enumerate(secs):
+                rows.append(
+                    {
+                        "device_id": dev,
+                        "ts": pd.Timestamp(sc + dev * 10_000_000, unit="s"),
+                        "point_id": i,
+                    }
+                )
+        pdf = pd.DataFrame(rows)
+
+        # expected: run the actual machine per device
+        expect = []
+        for dev, g in pdf.groupby("device_id"):
+            s = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000_000
+            wid, lab = np_split_time_windows(s)
+            gg = g.assign(window_id=wid, window_interval_s=lab)
+            expect.append(
+                gg.groupby(["window_id", "window_interval_s"], as_index=False)
+                .agg(n_points=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+                .assign(device_id=dev)
+            )
+        expect = pd.concat(expect, ignore_index=True)
+
+        con = duckdb.connect()
+        con.register("pts_src", pdf)
+        got = con.execute(
+            split_time_windows_summary_sql("SELECT * FROM pts_src")
+        ).df()
+        cols = sorted(got.columns)
+        e = (
+            expect[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+            .astype(got.dtypes.to_dict())
+        )
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        assert len(e) == len(g) and e.equals(g)
