@@ -288,3 +288,44 @@ def test_minhash_incremental_soak_three_batches(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_soak_inc_bands")
         spark.sql("DROP TABLE IF EXISTS t_soak_inc_hashes")
+
+
+def test_minhash_stream_candidates_match_batch(spark, sf_dir):
+    """Streaming MinHash dedup: the candidate pair set (est_threshold=0
+    -> every band collision) must equal the batch operator's candidate
+    set (jaccard_threshold=0 keeps all verified candidates), and the
+    emitted est_jaccard must equal the signature-agreement estimator
+    computed from the batch signature kernel."""
+    from util_gis_spark.operators.dedup import (
+        N_HASHES,
+        _sig_kernel,
+        minhash_near_dup_pairs,
+    )
+
+    q = (
+        S.minhash_dup_stream(S.document_stream(spark, sf_dir), est_threshold=0.0)
+        .writeStream.format("memory")
+        .queryName("t_mhdup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = spark.table("t_mhdup").collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in stream_rows}
+
+    docs = D.load(spark, sf_dir, "documents")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dup_pairs(docs, jaccard_threshold=0.0).collect()
+    }
+    assert got == want and len(got) > 0
+
+    sigs = {
+        int(r["doc_id"]): list(r["_sig"]) for r in _sig_kernel(docs).collect()
+    }
+    for r in stream_rows:
+        agree = sum(
+            a == b for a, b in zip(sigs[r["doc_a"]], sigs[r["doc_b"]])
+        )
+        assert abs(r["est_jaccard"] - round(agree / N_HASHES, 5)) < 1e-9

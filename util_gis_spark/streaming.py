@@ -290,6 +290,105 @@ def simhash_dup_stream(
     )
 
 
+def minhash_dup_stream(
+    docs_stream: DataFrame, est_threshold: float = 0.5, max_bucket: int = 10_000
+) -> DataFrame:
+    """Streaming MinHash near-dup detection — the live-ingestion form
+    of dedup.minhash_near_dup_pairs. Same signature kernel (stateless
+    mapInPandas, streaming-safe) and the same 4-band LSH; per band
+    bucket an applyInPandasWithState keeps the 16-value signatures
+    seen so far and emits (doc_a, doc_b, est_jaccard, band) when a
+    new doc collides.
+
+    The streaming TRADE vs batch: exact Jaccard needs both docs' full
+    shingle-hash sets — unbounded state — so the stream verifies on
+    the signature-agreement ESTIMATOR instead (matching components /
+    16, the textbook unbiased MinHash estimate; 136 B/doc/band of
+    state). Candidate pairs are EXACTLY the batch band collisions
+    (tested); pairs passing est_threshold are a superset/subset of the
+    exact-verify set only as far as the estimator deviates — route
+    emitted pairs through a batch exact verify downstream when the
+    decision is destructive. State per bucket capped at `max_bucket`
+    signatures, same eviction story as simhash_dup_stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.dedup import N_HASHES, _sig_kernel, band_table_expr
+
+    base = _sig_kernel(docs_stream)
+    bands = base.select(
+        "doc_id", "_sig", F.explode(F.expr(band_table_expr())).alias("_b")
+    ).select(
+        "doc_id",
+        "_sig",
+        F.col("_b.band").alias("band"),
+        F.col("_b.bh").alias("bh"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField("est_jaccard", DoubleType()),
+            StructField("band", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("sigs", ArrayType(LongType())),  # flattened 16/doc
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        band = int(key[0])
+        ids: list[int] = []
+        sigs: list[int] = []
+        if state.exists:
+            st_ids, st_sigs = state.get
+            ids = list(st_ids)
+            sigs = list(st_sigs)
+        rows_a, rows_b, rows_j = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            arriving = sorted(
+                (int(d), [int(x) for x in s]) for d, s in zip(pdf["doc_id"], pdf["_sig"])
+            )
+            for doc_id, sig in arriving:
+                for k in range(len(ids)):
+                    prev_id = ids[k]
+                    if prev_id == doc_id:
+                        continue
+                    prev_sig = sigs[k * N_HASHES : (k + 1) * N_HASHES]
+                    agree = sum(a == b for a, b in zip(prev_sig, sig))
+                    est = agree / N_HASHES
+                    if est >= est_threshold:
+                        rows_a.append(min(prev_id, doc_id))
+                        rows_b.append(max(prev_id, doc_id))
+                        rows_j.append(round(est, 5))
+                if len(ids) < max_bucket:
+                    ids.append(doc_id)
+                    sigs.extend(sig)
+        state.update((ids, sigs))
+        if rows_a:
+            yield pd.DataFrame(
+                {"doc_a": rows_a, "doc_b": rows_b, "est_jaccard": rows_j, "band": band}
+            )
+
+    return bands.groupBy("band", "bh").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Complete-mode execution into an in-memory table (tests/demos):
     processes everything available, stops, returns the result."""
