@@ -247,16 +247,46 @@ def ann_ivf_topk(
                 F.array(*[f"_c{i}" for i in range(dim)]).alias("c"),
             )
         )
-    scored_lists = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "list_id", _dot_expr("v", "c").alias("_dot")
+    # corpus-side assignment is MAP-ONLY (r4): the old plan crossJoined
+    # every vector with the k-row centroid table and ran a row_number
+    # window over vec_id — an N x k explode plus a FULL SHUFFLE of the
+    # corpus just to take an argmax. The quantizer is tiny and known at
+    # plan time (IVF is inherently two-phase: train, then assign), so
+    # the argmax inlines as one JVM expression: greatest() over
+    # (dot, -list_id) structs, literal centroid components unrolled
+    # into multiply-adds inside whole-stage codegen. Same doubles,
+    # same (dot desc, list_id asc) tie-break, zero Exchange. The
+    # centroid values are materialized here (one bounded job on the
+    # label path; the kmeans path already holds them) — beyond ~10^4
+    # lists the expression form stops being practical and a broadcast
+    # join + per-partition argmax would take over.
+    if centroids is not None:
+        cent_rows = sorted((int(i), [float(x) for x in c]) for i, c in centroids)
+    else:
+        cent_rows = sorted(
+            (int(r["list_id"]), [float(x) for x in r["c"]]) for r in cents.collect()
+        )
+    structs = ", ".join(
+        "named_struct('d', "
+        + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
+        + f", 'n', {-lid})"
+        for lid, c in cent_rows
+    )
+    assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
+    assigned = e.select(
+        "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
+    )
+    # probe-side ranking keeps the window — probes are the filtered
+    # small side, and it needs the full top-nprobe order, not argmax
+    scored_lists = (
+        e.filter(probe_filter)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "list_id", _dot_expr("v", "c").alias("_dot"))
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("_dot").desc(), F.col("list_id"))
     ranked = scored_lists.withColumn("_rk", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("_rk") == 1).select("vec_id", "v", "list_id")
-    probes = (
-        ranked.filter(F.col("_rk") <= nprobe)
-        .filter(F.expr(probe_filter))
-        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "list_id")
+    probes = ranked.filter(F.col("_rk") <= nprobe).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "list_id"
     )
     joined = probes.join(assigned, "list_id").filter(F.col("probe_id") != F.col("vec_id"))
     scored = joined.select(
