@@ -295,12 +295,13 @@ def _quality(sf_dir: str) -> dict:
             srow = sims[r_i].copy()
             srow[pi] = -np.inf
             truth.append(int(np.argmax(srow)))
-        d = np.arange(dim, dtype=np.int64)
-        sig = np.zeros((N_TABLES, n), dtype=np.int64)
-        for t in range(N_TABLES):
-            for j in range(N_PLANES):
-                plane = ((((t * 977 + j) * 131 + d) * 2654435761) % 2000) / 1000.0 - 1.0
-                sig[t] |= (m @ plane > 0).astype(np.int64) << j
+        # ONE numpy replica of the plane family lives in
+        # scripts/ann_recall.py (lsh_signatures) — reuse it so the
+        # bench's recall number cannot drift from the sweep's
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from ann_recall import lsh_signatures
+
+        sig = lsh_signatures(m, N_TABLES, N_PLANES)
         hits = cand = 0
         for r_i, pi in enumerate(pidx):
             pb = sig[:, pi]

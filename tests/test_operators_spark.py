@@ -699,3 +699,50 @@ class TestIvfKmeans:
 
         emb = D.load(spark, sf_dir, "embeddings")
         assert kmeans_centroids(emb, k=5, iters=3) == kmeans_centroids(emb, k=5, iters=3)
+
+
+class TestReviewRegressionsR4:
+    """Pins for the round-4 code-review findings."""
+
+    def test_simhash_null_and_unicode_ws_text(self, spark):
+        """NULL text must be dropped (not crash), and an NBSP must NOT
+        split tokens — the kernel, the HOF path, and (by the ASCII
+        regex) the DuckDB twin all treat it as part of the token."""
+        from util_gis_spark.operators.dedup import simhash_docs, simhash_docs_hof
+
+        docs = spark.createDataFrame(
+            [(1, "foo bar baz"), (2, None), (3, "plain ascii words here")],
+            "doc_id long, text string",
+        )
+        a = sorted((r["doc_id"], r["simhash"]) for r in simhash_docs(docs).collect())
+        b = sorted((r["doc_id"], r["simhash"]) for r in simhash_docs_hof(docs).collect())
+        assert a == b
+        assert [i for i, _ in a] == [1, 3]  # null-text row dropped
+
+    def test_minhash_null_text_dropped(self, spark):
+        from util_gis_spark.operators.dedup import minhash_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a b c d e f"), (3, "a b c d e f")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_near_dup_pairs(docs).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(2, 3)}
+
+    def test_cand_arrays_tuple_of_rows_is_rows(self):
+        import numpy as np
+
+        from util_gis_spark.operators.joins import _cand_arrays
+
+        rows = ((3, 116.0, 39.5), (1, 116.1, 39.6), (2, 116.2, 39.7))
+        cid, clon, clat = _cand_arrays(rows)
+        assert list(cid) == [1, 2, 3]
+        assert np.allclose(clon, [116.1, 116.2, 116.0])
+
+    def test_cand_arrays_empty_raises(self):
+        import pytest as _pytest
+
+        from util_gis_spark.operators.joins import _cand_arrays
+
+        with _pytest.raises(ValueError, match="empty candidate"):
+            _cand_arrays([])

@@ -329,3 +329,43 @@ def test_minhash_stream_candidates_match_batch(spark, sf_dir):
             a == b for a, b in zip(sigs[r["doc_a"]], sigs[r["doc_b"]])
         )
         assert abs(r["est_jaccard"] - round(agree / N_HASHES, 5)) < 1e-9
+
+
+def test_simhash_stream_reingest_does_not_duplicate(spark, tmp_path):
+    """A re-ingested doc (same doc_id arriving in a later batch) must
+    not re-enter bucket state or re-emit its historical pairs."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "reingest_src"
+    src.mkdir()
+    batch1 = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "a b c d e"]})
+    batch2 = pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})  # replay of doc 1
+    t0 = time.time() - 100
+    for i, df in enumerate((batch1, batch2)):
+        df.to_parquet(src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        S.simhash_dup_stream(stream, max_hamming=2)
+        .writeStream.format("memory")
+        .queryName("t_reingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_reingest").collect()
+    # the (1, 2) pair appears once per band it collides in, from batch
+    # 1 only; the replay in batch 2 must add nothing
+    per_band = {}
+    for r in rows:
+        per_band.setdefault(r["band"], []).append((r["doc_a"], r["doc_b"]))
+    for band, pairs in per_band.items():
+        assert pairs == [(1, 2)], (band, pairs)

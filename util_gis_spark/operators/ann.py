@@ -266,6 +266,12 @@ def ann_ivf_topk(
         cent_rows = sorted(
             (int(r["list_id"]), [float(x) for x in r["c"]]) for r in cents.collect()
         )
+        # the probe-side broadcast must reuse the SAME collected values:
+        # re-evaluating the avg aggregation lazily would both pay the
+        # full-corpus job twice and risk one-ulp drift between the
+        # probe ranking and the literal corpus assignment
+        spark = embeddings_df.sparkSession
+        cents = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
     structs = ", ".join(
         "named_struct('d', "
         + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))

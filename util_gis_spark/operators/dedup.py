@@ -126,14 +126,22 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
         ]
     )
 
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
     def run(batches):
         for pdf in batches:
             ids, hs, sigs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):  # NULL text: no shingles
+                    continue
                 if shingler == "char3":
                     sh = sorted({text[i : i + 3] for i in range(len(text) - 2)})
                 else:
-                    toks = [t for t in text.split() if t]
+                    # ASCII \s+ == the oracle's regex split; str.split()
+                    # would also split Unicode whitespace and diverge
+                    toks = [t for t in ws.split(text) if t]
                     sh = sorted({f"{x} {y}" for x, y in zip(toks, toks[1:])})
                 if not sh:
                     continue
@@ -148,7 +156,8 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
                 ids.append(doc_id)
                 hs.append(h.tolist())
                 sigs.append(sig.tolist())
-            yield pd.DataFrame({"doc_id": ids, "_hashes": hs, "_sig": sigs})
+            if ids:  # empty python-list frames break the Arrow cast
+                yield pd.DataFrame({"doc_id": ids, "_hashes": hs, "_sig": sigs})
 
     return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
 
@@ -213,11 +222,16 @@ def minhash_near_dup_pairs(
         # than the cap are dropped wholesale — their members agree on
         # boilerplate, not content, so the recall lost is concentrated
         # exactly where near-dup signal is weakest. Off by default
-        # (exact semantics = oracle parity).
-        sizes = bands.groupBy("band", "bh").agg(F.count("*").alias("_bn"))
-        bands = bands.join(
-            sizes.filter(F.col("_bn") <= max_band_bucket), ["band", "bh"]
-        ).drop("_bn")
+        # (exact semantics = oracle parity). Window count, NOT a
+        # groupBy+self-join: the join form re-evaluated the signature
+        # kernel subplan a second time for the sizes side.
+        from pyspark.sql import Window as _W
+
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(_W.partitionBy("band", "bh")))
+            .filter(F.col("_bn") <= max_band_bucket)
+            .drop("_bn")
+        )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
@@ -478,11 +492,20 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     )
     weights = (1 << np.arange(SIMHASH_BITS, dtype=np.int64))
 
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
     def run(batches):
         for pdf in batches:
             ids, sims = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = {t for t in text.split() if t}
+                if not isinstance(text, str):  # NULL text: drop, like the
+                    continue  # HOF path's size(_hashes) > 0 filter
+                # ASCII \s+ split == the Spark/DuckDB twins' regex;
+                # str.split() would also split Unicode whitespace (e.g.
+                # NBSP) and silently diverge from the oracle
+                toks = {t for t in ws.split(text) if t}
                 if not toks:
                     continue
                 h = np.array(

@@ -731,13 +731,26 @@ def pip_join(
 def _cand_arrays(candidates):
     """Normalize a candidate set to id-sorted numpy columns
     (cid int64, clon f64, clat f64). Accepts a list of (id, lon, lat)
-    tuples or a (cid, clon, clat) array triple — the latter is the
-    Arrow ingestion path (knn_join collects via toPandas, never
-    materializing per-row Python objects). Sort order matches the old
-    tuple sort exactly: (id, lon, lat) lexicographic."""
+    tuples or a (cid, clon, clat) triple of numpy arrays / pandas
+    Series — the latter is the Arrow ingestion path (knn_join collects
+    via toPandas, never materializing per-row Python objects). The
+    triple form is recognized ONLY when all three elements are actual
+    arrays, so a 3-tuple of candidate rows parses as rows. Raises on
+    an empty candidate set. Sort order matches the old tuple sort
+    exactly: (id, lon, lat) lexicographic."""
     import numpy as np
 
-    if isinstance(candidates, tuple) and len(candidates) == 3:
+    import pandas as pd
+
+    is_triple = (
+        isinstance(candidates, tuple)
+        and len(candidates) == 3
+        and all(isinstance(c, (np.ndarray, pd.Series)) for c in candidates)
+    )
+    # the triple form requires ACTUAL arrays: a plain tuple of three
+    # (id, lon, lat) rows must parse as a candidate list, not as three
+    # column vectors (which would silently produce garbage neighbors)
+    if is_triple:
         cid = np.asarray(candidates[0], dtype=np.int64)
         clon = np.asarray(candidates[1], dtype=np.float64)
         clat = np.asarray(candidates[2], dtype=np.float64)
@@ -745,6 +758,11 @@ def _cand_arrays(candidates):
         cid = np.array([c[0] for c in candidates], dtype=np.int64)
         clon = np.array([c[1] for c in candidates], dtype=np.float64)
         clat = np.array([c[2] for c in candidates], dtype=np.float64)
+    if len(cid) == 0:
+        raise ValueError(
+            "knn: empty candidate set (knn_join handles this case by "
+            "returning an empty result before the index is built)"
+        )
     order = np.lexsort((clat, clon, cid))
     return cid[order], clon[order], clat[order]
 

@@ -266,11 +266,15 @@ def simhash_dup_stream(
             if len(pdf) == 0:
                 continue
             arriving = sorted(zip(pdf["doc_id"], pdf["simhash"]))
+            seen = set(ids)
             for doc_id, sh in arriving:
                 doc_id, sh = int(doc_id), int(sh)
+                if doc_id in seen:
+                    # re-ingested doc: already in state — appending
+                    # again would re-emit all its historical pairs and
+                    # bloat the bucket with duplicates
+                    continue
                 for prev_id, prev_sh in zip(ids, hashes):
-                    if prev_id == doc_id:
-                        continue
                     h = (prev_sh ^ sh).bit_count()
                     if h <= max_hamming:
                         rows_a.append(min(prev_id, doc_id))
@@ -279,6 +283,7 @@ def simhash_dup_stream(
                 if len(ids) < max_bucket:
                     ids.append(doc_id)
                     hashes.append(sh)
+                    seen.add(doc_id)
         state.update((ids, hashes))
         if rows_a:
             yield pd.DataFrame(
@@ -363,11 +368,13 @@ def minhash_dup_stream(
             arriving = sorted(
                 (int(d), [int(x) for x in s]) for d, s in zip(pdf["doc_id"], pdf["_sig"])
             )
+            seen = set(ids)
             for doc_id, sig in arriving:
+                if doc_id in seen:
+                    # re-ingested doc: skip — see simhash_dup_stream
+                    continue
                 for k in range(len(ids)):
                     prev_id = ids[k]
-                    if prev_id == doc_id:
-                        continue
                     prev_sig = sigs[k * N_HASHES : (k + 1) * N_HASHES]
                     agree = sum(a == b for a, b in zip(prev_sig, sig))
                     est = agree / N_HASHES
@@ -378,6 +385,7 @@ def minhash_dup_stream(
                 if len(ids) < max_bucket:
                     ids.append(doc_id)
                     sigs.extend(sig)
+                    seen.add(doc_id)
         state.update((ids, sigs))
         if rows_a:
             yield pd.DataFrame(
