@@ -133,3 +133,61 @@ class TestResizeAndFrames:
             per_vid.setdefault(r["video_id"], (r["n_frames"], []))[1].append(r["frame_idx"])
         for n_frames, idxs in per_vid.values():
             assert len(idxs) == math.ceil(n_frames / 4)
+
+
+class TestCheckpointInvalidation:
+    """r4 review fixes: force-rebuilds cascade to dependents, rebuilds
+    invalidate the manifest before touching data, manifests publish
+    atomically, and mid-pipeline resumes don't fingerprint-thrash."""
+
+    def _pipeline(self, spark, sf_dir, root, force_src=False):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.io.checkpoint import CheckpointedPipeline
+
+        pipe = CheckpointedPipeline(spark, str(root))
+        pipe.stage("src", lambda: D.images(spark, sf_dir).select("image_key", "lon", "lat"),
+                   force=force_src)
+        pipe.stage("agg", lambda src: src.groupBy((src.image_key % 5).alias("g")).count(),
+                   deps=["src"])
+        return pipe
+
+    def test_force_cascades_to_dependents(self, spark, sf_dir, tmp_path):
+        root = tmp_path / "ckpt"
+        p1 = self._pipeline(spark, sf_dir, root)
+        assert p1.manifest()["agg"]["resumed"] is False
+        p2 = self._pipeline(spark, sf_dir, root)
+        assert p2.manifest()["src"]["resumed"] is True
+        assert p2.manifest()["agg"]["resumed"] is True
+        # force-rebuild the source: the dependent must NOT resume its
+        # (now potentially stale) checkpoint
+        p3 = self._pipeline(spark, sf_dir, root, force_src=True)
+        assert p3.manifest()["src"]["resumed"] is False
+        assert p3.manifest()["agg"]["resumed"] is False
+
+    def test_mid_pipeline_resume_is_stable(self, spark, sf_dir, tmp_path):
+        from util_gis_spark import datasets as D
+        from util_gis_spark.io.checkpoint import CheckpointedPipeline
+
+        root = tmp_path / "ckpt2"
+        self._pipeline(spark, sf_dir, root)
+        # a NEW process resumes only the downstream stage (src never
+        # ran here): it must resume, and a later full run must too —
+        # the old '?'-fallback fingerprint alternated forever
+        pipe = CheckpointedPipeline(spark, str(root))
+        pipe.stage("agg", lambda src: src.groupBy((src.image_key % 5).alias("g")).count(),
+                   deps=["src"])
+        assert pipe.manifest()["agg"]["resumed"] is True
+        p_full = self._pipeline(spark, sf_dir, root)
+        assert p_full.manifest()["agg"]["resumed"] is True
+
+    def test_manifest_written_atomically(self, spark, sf_dir, tmp_path):
+        import json
+        import os
+
+        root = tmp_path / "ckpt3"
+        self._pipeline(spark, sf_dir, root)
+        for stage in ("src", "agg"):
+            meta = root / stage / "_SUCCESS_META.json"
+            assert meta.exists() and not os.path.exists(str(meta) + ".tmp")
+            m = json.load(open(meta))
+            assert m["write_id"] and m["rows"] > 0

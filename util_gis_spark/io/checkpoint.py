@@ -22,6 +22,7 @@ import hashlib
 import json
 import os
 import re
+import uuid
 from dataclasses import dataclass
 from typing import Callable
 
@@ -56,12 +57,21 @@ class CheckpointedPipeline:
         h = hashlib.sha256()
         h.update(stage.encode())
         for d in deps:
-            meta = self.results.get(d)
-            h.update((d + (meta.path if meta else "?")).encode())
+            # only DURABLE identity goes into the hash: the dep name,
+            # its on-disk fingerprint, and its write_id. (The r4 review
+            # caught two bugs here: hashing the in-memory result path
+            # with a '?' fallback made the fingerprint depend on which
+            # stages ran in THIS process — mid-pipeline resumes
+            # thrashed between two fingerprints forever — and without
+            # the write_id a force-rebuilt dep with an unchanged plan
+            # left dependents resuming stale data.)
+            h.update(d.encode())
             mp = self._meta_path(d)
             if os.path.exists(mp):
                 with open(mp) as f:
-                    h.update(json.dumps(json.load(f).get("fingerprint", "")).encode())
+                    m = json.load(f)
+                h.update(m.get("fingerprint", "").encode())
+                h.update(m.get("write_id", "").encode())
         # expression ids (#123) and generated aliases are fresh per
         # session — strip them so the fingerprint is plan-shape stable
         h.update(re.sub(r"#\d+", "#", logical_plan).encode())
@@ -92,6 +102,11 @@ class CheckpointedPipeline:
                 )
                 return self.spark.read.parquet(data_path)
 
+        # invalidate BEFORE clobbering the data: a crash mid-overwrite
+        # must not leave a matching manifest over partial parquet (the
+        # next run would silently resume the partial checkpoint)
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
         obs = Observation(f"obs_{name}")
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         observed.write.mode("overwrite").parquet(data_path)
@@ -107,13 +122,20 @@ class CheckpointedPipeline:
         meta = {
             "stage": name,
             "fingerprint": fp,
+            # fresh per write: dependents hash it, so ANY rebuild of
+            # this stage (force or plan change) invalidates them too
+            "write_id": uuid.uuid4().hex,
             "deps": list(deps),
             "rows": rows,
             "bytes": total_bytes,
             "partitions": parts,
         }
-        with open(meta_path, "w") as f:
+        # atomic publish: a torn _SUCCESS_META.json would crash every
+        # later run in json.load
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
+        os.replace(tmp, meta_path)
         self.results[name] = StageResult(name, data_path, rows, total_bytes, parts, False)
         return self.spark.read.parquet(data_path)
 

@@ -39,3 +39,20 @@ def grouped_apply(df: DataFrame, group_cols, fn, schema) -> DataFrame:
         .groupBy(*cols)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def sorted_with_secs(pdf, float_secs: bool = True):
+    """The shared per-trajectory kernel preamble: drop null-ts rows
+    (pandas sorts NaT LAST and int64-casts it to -2^63 — one NULL
+    timestamp would silently corrupt every downstream duration/gap
+    rule), sort by (ts, point_id when present), and return
+    (sorted_pdf, epoch_seconds) with secs as float (default) or
+    floored int64. One definition for the seven kernels that need it —
+    the '.astype(datetime64[ns]) before int64' pitfall lives here
+    only."""
+    if pdf["ts"].isna().any():
+        pdf = pdf[pdf["ts"].notna()]
+    pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+    ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+    secs = ns / 1_000_000_000.0 if float_secs else ns // 1_000_000_000
+    return pdf, secs

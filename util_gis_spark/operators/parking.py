@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..geo.sphere import MU_PER_M2
+from .grouped import sorted_with_secs
 from .projection import distribution_area
 from .trajectory import heading_changes
 
@@ -113,11 +114,17 @@ def np_filter_parking_by_time_window(
 
 
 def filter_parking_by_time_window(df_projected: DataFrame, **kw) -> DataFrame:
+    unknown = set(kw) - {"window_s", "min_points", "max_range_m"}
+    if unknown:
+        raise TypeError(f"filter_parking_by_time_window: unknown option(s) {sorted(unknown)}")
+    if kw.get("window_s", 1) <= 0:
+        # step = window_s/2 drives the sweep; <= 0 would spin the
+        # executor task forever instead of erroring on the driver
+        raise ValueError("filter_parking_by_time_window: window_s must be > 0")
     schema = df_projected.schema
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
+        pdf, secs = sorted_with_secs(pdf)
         mask = np_filter_parking_by_time_window(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )
@@ -141,23 +148,35 @@ def np_filter_parking_points_by_index(
     cloud if >= min_points, their time span >= min_duration, AND the
     cloud bbox is <= 0.6*parking_range on both axes; all points of any
     detected cloud are dropped. Neighbor search is grid-binned (the
-    STRtree analogue), evaluated for all points in one vectorized pass
-    (scatter-reduce per-cloud extents over the (src, nb) pair list).
+    STRtree analogue); the scatter-reduces (bincount / minimum.at /
+    maximum.at) fold each CHUNK of source points incrementally, so
+    peak memory is bounded by ~pair_budget pairs even when the whole
+    trajectory is one dense dwell — a day parked at 1 Hz (86k points,
+    all mutual neighbors) would otherwise materialize n^2 ~ 7.5e9
+    pairs in one list. Two passes: accumulate cloud stats, then
+    re-walk the chunks to mark members of qualifying clouds.
     Returns keep-mask."""
-    from .clustering import grid_neighbor_pairs
+    from .clustering import _GridIndex
 
     n = len(x)
     is_parking = np.zeros(n, dtype=bool)
     if n == 0:
         return ~is_parking
-    src, nb = grid_neighbor_pairs(x, y, max(parking_range_m, 1e-9))
-    counts = np.bincount(src, minlength=n)
+    gi = _GridIndex(x, y, max(parking_range_m, 1e-9))
+    pair_budget = 1 << 26  # ~64M pairs = ~1 GB of (src, nb) int64 per chunk
+    chunk = max(pair_budget // n, 1)
+    counts = np.zeros(n, dtype=np.int64)
     tmin = np.full(n, np.inf); tmax = np.full(n, -np.inf)
     xmin = np.full(n, np.inf); xmax = np.full(n, -np.inf)
     ymin = np.full(n, np.inf); ymax = np.full(n, -np.inf)
-    np.minimum.at(tmin, src, ts_s[nb]); np.maximum.at(tmax, src, ts_s[nb])
-    np.minimum.at(xmin, src, x[nb]); np.maximum.at(xmax, src, x[nb])
-    np.minimum.at(ymin, src, y[nb]); np.maximum.at(ymax, src, y[nb])
+    for s in range(0, n, chunk):
+        idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
+        sp, nb = gi.query(idx)  # sp indexes into idx
+        src = idx[sp]
+        counts += np.bincount(src, minlength=n)
+        np.minimum.at(tmin, src, ts_s[nb]); np.maximum.at(tmax, src, ts_s[nb])
+        np.minimum.at(xmin, src, x[nb]); np.maximum.at(xmax, src, x[nb])
+        np.minimum.at(ymin, src, y[nb]); np.maximum.at(ymax, src, y[nb])
     lim = parking_range_m * 0.6
     cloud = (
         (counts >= min_points)
@@ -165,9 +184,13 @@ def np_filter_parking_points_by_index(
         & (xmax - xmin <= lim)
         & (ymax - ymin <= lim)
     )
-    member = cloud[src]
-    if member.any():
-        is_parking[nb[member]] = True
+    if cloud.any():
+        for s in range(0, n, chunk):
+            idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
+            sp, nb = gi.query(idx)
+            member = cloud[idx[sp]]
+            if member.any():
+                is_parking[nb[member]] = True
     return ~is_parking
 
 
@@ -176,11 +199,13 @@ def filter_parking_points_by_index(df_projected: DataFrame, **kw) -> DataFrame:
     trajectory (device_id group) per applyInPandas call, the np kernel
     drops every detected parking cloud's points. Expects projected
     points (x/y meters); same schema out (filter-only)."""
+    unknown = set(kw) - {"parking_range_m", "min_points", "min_duration_s"}
+    if unknown:
+        raise TypeError(f"filter_parking_points_by_index: unknown option(s) {sorted(unknown)}")
     schema = df_projected.schema
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
+        pdf, secs = sorted_with_secs(pdf)
         mask = np_filter_parking_points_by_index(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )

@@ -445,12 +445,13 @@ def _plots_to_pdf(device_id, plots: list[dict]) -> pd.DataFrame:
 
 
 def _traj_arrays(pdf: pd.DataFrame):
-    pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+    from .grouped import sorted_with_secs
+
+    pdf, ts_s = sorted_with_secs(pdf)
     lon = pdf["lon"].to_numpy(np.float64)
     lat = pdf["lat"].to_numpy(np.float64)
     zone = gauss.unified_zone(float(lon.min()), float(lon.max()))
     x, y, _ = gauss.gauss_forward(lon, lat, zone=zone)
-    ts_s = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
     return np.column_stack([x, y]), ts_s, zone
 
 

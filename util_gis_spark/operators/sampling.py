@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .grouped import sorted_with_secs
+
 MIN_EDGE_LEN_M = 0.5  # G:489 noise edge
 MIN_ANGLE_DEG = 10.0  # G:499 corner threshold
 MAX_EDGE_LEN_M = 1.0  # G:508 accumulated-length force keep
@@ -152,7 +154,7 @@ def simplify_by_angle(df_projected: DataFrame, group_cols=("device_id",)) -> Dat
     schema = df_projected.schema
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        pdf, _secs = sorted_with_secs(pdf)
         mask = np_simplify_by_angle(pdf[["x", "y"]].to_numpy(np.float64))
         return pdf.loc[mask]
 
@@ -165,7 +167,7 @@ def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -
     schema = df_projected.schema
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
+        pdf, _secs = sorted_with_secs(pdf)
         mask = np_fast_distance_sampling(pdf[["x", "y"]].to_numpy(np.float64))
         return pdf.loc[mask]
 

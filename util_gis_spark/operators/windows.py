@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .grouped import sorted_with_secs
+
 MAX_INTERVAL_S = 300  # G:556
 MIN_CONSECUTIVE = 59  # G:547
 
@@ -112,8 +114,7 @@ def split_time_windows(df: DataFrame, group_cols=("device_id",)) -> DataFrame:
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000_000
+        pdf, secs = sorted_with_secs(pdf, float_secs=False)
         wid, lab = np_split_time_windows(secs)
         out = pdf.copy()
         out["window_id"] = wid
@@ -176,8 +177,7 @@ def median_smooth_filter(df_projected: DataFrame, group_cols=("device_id",), **k
     schema = df_projected.schema
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
+        pdf, secs = sorted_with_secs(pdf)
         mask = np_median_smooth(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )
@@ -244,8 +244,7 @@ def kalman_smooth_trajectories(df_projected: DataFrame, group_cols=("device_id",
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "point_id"] if "point_id" in pdf else ["ts"])
-        secs = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1_000_000_000.0
+        pdf, secs = sorted_with_secs(pdf)
         xs, ys = np_kalman_smooth(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64), secs, **kw
         )
