@@ -242,3 +242,44 @@ class TestTimeWindowsSqlTwinProperty:
         )
         g = got[cols].sort_values(cols).reset_index(drop=True)
         assert len(e) == len(g) and e.equals(g)
+
+
+class TestDensitySamplingDifferential:
+    """The r4 refactor moved densityBasedSampling onto the shared
+    _GridIndex engine; differential-test it against a straight-line
+    O(n^2) reference of the documented semantics (tiered keep by
+    eps-ball count, then the SEQUENTIAL force-keep pass)."""
+
+    @staticmethod
+    def _reference(xy, epsilon, min_pts, max_neighbors):
+        n = len(xy)
+        keep = np.zeros(n, dtype=bool)
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+        nbm = d2 <= epsilon * epsilon
+        for i in range(n):
+            cnt = int(nbm[i].sum())
+            if cnt < min_pts * 2:
+                keep[i] = True
+            elif cnt <= max_neighbors:
+                keep[i] = i % 3 == 0
+            else:
+                keep[i] = i % 10 == 0
+        for i in range(n):
+            if not keep[i] and int(keep[nbm[i]].sum()) < min_pts:
+                keep[i] = True
+        return keep
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=1, max_value=160),
+        spread=st.floats(min_value=0.5, max_value=30.0),
+    )
+    def test_matches_reference(self, seed, n, spread):
+        from util_gis_spark.operators.sampling import np_density_based_sampling
+
+        rng = np.random.default_rng(seed)
+        xy = rng.normal(scale=spread, size=(n, 2))
+        got = np_density_based_sampling(xy, epsilon=5.0, min_pts=4, max_neighbors=12)
+        want = self._reference(xy, 5.0, 4, 12)
+        assert (got == want).all()

@@ -108,43 +108,46 @@ def np_density_based_sampling(
     10th otherwise. Pass 2 force-keeps dropped points whose eps-ball
     has fewer than minPts KEPT neighbors (DBSCAN-core guarantee).
     Neighbor search is grid-binned (the STRtree analogue)."""
+    from .clustering import _GridIndex
+
     n = len(xy)
-    keep = np.zeros(n, dtype=bool)
     if n == 0:
-        return keep
-    x, y = xy[:, 0], xy[:, 1]
-    inv = 1.0 / max(epsilon, 1e-9)
-    cx = np.floor(x * inv).astype(np.int64)
-    cy = np.floor(y * inv).astype(np.int64)
-    bins: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        bins.setdefault((int(cx[i]), int(cy[i])), []).append(i)
-    eps2 = epsilon * epsilon
+        return np.zeros(n, dtype=bool)
+    x, y = np.ascontiguousarray(xy[:, 0]), np.ascontiguousarray(xy[:, 1])
+    # shared neighbor engine (clustering._GridIndex) instead of a
+    # second dict-binned implementation; chunked queries bound memory
+    gi = _GridIndex(x, y, max(epsilon, 1e-9))
+    chunk = max((1 << 26) // n, 1)
 
-    def neighbors(i: int) -> np.ndarray:
-        cand: list[int] = []
-        bx, by = int(cx[i]), int(cy[i])
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cand.extend(bins.get((bx + dx, by + dy), ()))
-        arr = np.asarray(cand, dtype=np.int64)
-        d2 = (x[arr] - x[i]) ** 2 + (y[arr] - y[i]) ** 2
-        return arr[d2 <= eps2]
+    # pass 1 is order-independent: one vectorized count per point
+    counts = np.zeros(n, dtype=np.int64)
+    for s in range(0, n, chunk):
+        idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
+        sp, _nb = gi.query(idx)
+        counts += np.bincount(idx[sp], minlength=n)
+    ar = np.arange(n, dtype=np.int64)
+    keep = (
+        (counts < min_pts * 2)
+        | ((counts <= max_neighbors) & (ar % 3 == 0))
+        | ((counts > max_neighbors) & (ar % 10 == 0))
+    )
 
-    for i in range(n):
-        cnt = len(neighbors(i))
-        if cnt < min_pts * 2:
-            keep[i] = True
-        elif cnt <= max_neighbors:
-            keep[i] = i % 3 == 0
-        else:
-            keep[i] = i % 10 == 0
-    for i in range(n):
-        if keep[i]:
-            continue
-        nb = neighbors(i)
-        if int(keep[nb].sum()) < min_pts:
-            keep[i] = True
+    # pass 2 is SEQUENTIAL (each force-keep is visible to later scan
+    # positions), but the neighbor lists are precomputed vectorized:
+    # CSR over the dropped points, then one ordered scan
+    dropped = np.flatnonzero(~keep)
+    if len(dropped):
+        nb_lists: list[np.ndarray] = []
+        for s in range(0, len(dropped), chunk):
+            idx = dropped[s : s + chunk]
+            sp, nb = gi.query(idx)
+            order = np.argsort(sp, kind="stable")
+            sp_s, nb_s = sp[order], nb[order]
+            bounds = np.searchsorted(sp_s, np.arange(len(idx) + 1))
+            nb_lists.extend(nb_s[bounds[k] : bounds[k + 1]] for k in range(len(idx)))
+        for pos, i in enumerate(dropped):
+            if int(keep[nb_lists[pos]].sum()) < min_pts:
+                keep[i] = True
     return keep
 
 
