@@ -253,3 +253,86 @@ class TestWktAndPip:
         s = multipolygon_wkt(polys)
         t, back = parse_wkt(s)
         assert t == "MULTIPOLYGON" and np.allclose(back[0][0], polys[0][0])
+
+
+class TestR4GeoReviewRegressions:
+    """Pins for the round-4 geometry-core review findings."""
+
+    def test_leading_dot_wkt_numerals(self):
+        from util_gis_spark.geo.geometry import parse_wkt
+
+        typ, data = parse_wkt("POINT (-.5 1)")
+        assert typ == "POINT" and data[0] == -0.5 and data[1] == 1.0
+        typ, rings = parse_wkt("POLYGON ((.5 .5, 1.5 .5, 1.5 1.5, .5 1.5, .5 .5))")
+        assert typ == "POLYGON" and rings[0][0][0] == 0.5
+
+    def test_nested_geometrycollection(self):
+        from util_gis_spark.geo.geometry import points_in_geom, wkt_to_4d_array
+
+        wkt = "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))))"
+        assert points_in_geom([2.0], [2.0], wkt)[0]
+        assert len(wkt_to_4d_array(wkt)) == 1
+
+    def test_segment_cells_corner_stays_in_res(self):
+        import numpy as np
+
+        from util_gis_spark.geo.cells import np_decode, segment_cells
+
+        cells = segment_cells(-180.0, -45.0, -181.0, -46.0, 2)
+        for c in cells:
+            res, ix, iy = np_decode(np.int64(c))
+            assert int(res) == 2 and 0 <= int(ix) < 4 and 0 <= int(iy) < 4
+
+    def test_rasterize_polyline_empty(self):
+        import numpy as np
+
+        from util_gis_spark.geo import morphology as M
+
+        r = M.rasterize_polyline(np.zeros((0, 2)), 2.0)
+        assert not r.mask.any()
+
+    def test_pinch_ring_area_exact_despite_self_touch(self):
+        """Diagonal pinches self-touch by design (documented); signed
+        ring areas must still reproduce the mask area exactly."""
+        import numpy as np
+
+        from util_gis_spark.geo import morphology as M
+
+        mask = np.ones((4, 4), dtype=bool)
+        mask[0, 0] = False
+        mask[1, 1] = False
+        rings = M.trace_rings(M.Raster(mask, 0.0, 0.0, 1.0))
+        tot = sum((1 if s else -1) * M.abs_area(ring) for ring, s in rings)
+        assert tot == 14.0
+
+    def test_chunked_dp_keeps_ring_seam_vertex(self):
+        """A >1024-vertex ring must retain its final body vertex (the
+        old chunking dropped it, kinking the seam by ~g)."""
+        import numpy as np
+
+        from util_gis_spark.geo import morphology as M
+
+        # large thin rectangle -> staircase-free ring with >1024 cells
+        mask = np.zeros((700, 700), dtype=bool)
+        mask[5:695, 5:695] = True
+        rings = M.trace_rings(M.Raster(mask, 0.0, 0.0, 1.0), simplify_tol=0.9)
+        shell = [r for r, s in rings if s][0]
+        # the four corners must all survive (the dropped seam vertex
+        # was a corner whenever the trace started there)
+        corners = {(5.0, 5.0), (695.0, 5.0), (695.0, 695.0), (5.0, 695.0)}
+        got = {tuple(v) for v in shell[:-1]}
+        assert corners <= got
+
+    def test_exterior_closing_near_border(self):
+        """A shell 1 cell from the raster border must close like one
+        in the middle — the unpadded version sealed it to the edge."""
+        import numpy as np
+
+        from util_gis_spark.geo import morphology as M
+
+        mask = np.zeros((30, 30), dtype=bool)
+        mask[1:29, 1:29] = True
+        mask[1:3, 12:16] = False  # notch at the top edge
+        out = M.exterior_closing(M.Raster(mask, 0.0, 0.0, 0.25), 1.5)
+        assert out.mask[1, 13]  # sealed
+        assert out.mask.shape == mask.shape  # frame preserved

@@ -123,8 +123,13 @@ def segment_cells(lon0: float, lat0: float, lon1: float, lat1: float, res: int) 
             t_max_y += t_dy
             iy += sy
         else:  # exact corner crossing: mark both neighbors (supercover)
-            out.add(res * RES_SHIFT + (ix + sx) * IX_SHIFT + iy)
-            out.add(res * RES_SHIFT + ix * IX_SHIFT + (iy + sy))
+            # bounds-checked like the main walk: an out-of-range index
+            # would borrow into the packed res field and alias a valid
+            # cell at another resolution (r4 review)
+            if 0 <= ix + sx < n and 0 <= iy < n:
+                out.add(res * RES_SHIFT + (ix + sx) * IX_SHIFT + iy)
+            if 0 <= ix < n and 0 <= iy + sy < n:
+                out.add(res * RES_SHIFT + ix * IX_SHIFT + (iy + sy))
             t_max_x += t_dx
             t_max_y += t_dy
             ix += sx

@@ -16,7 +16,11 @@ import re
 import numpy as np
 
 # ------------------------------------------------------------------- WKT
-_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+# leading-dot numerals (".5", "-.5") are valid per the OGC/SQL numeric
+# grammar (PostGIS emits-accepts them); requiring a digit before the
+# dot made the pair-scanner silently re-pair digits into WRONG
+# coordinates instead of degrading (r4 review)
+_NUM = r"[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?"
 _PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
 
 
@@ -112,25 +116,7 @@ def close_ring(ring: np.ndarray) -> np.ndarray:
 def wkt_to_4d_array(wkt: str) -> list:
     """double[geom][ring][point][2] export for all OGC types
     (G:10649-10809). Points/lines become single-ring geoms."""
-    typ, data = parse_wkt(wkt)
-    if typ == "EMPTY":
-        return []
-    if typ == "POINT":
-        return [[[list(map(float, data))]]]
-    if typ in ("LINESTRING", "MULTIPOINT"):
-        return [[data.tolist()]]
-    if typ == "MULTILINESTRING":
-        return [[r.tolist()] for r in data]
-    if typ == "POLYGON":
-        return [[r.tolist() for r in data]]
-    if typ == "MULTIPOLYGON":
-        return [[r.tolist() for r in poly] for poly in data]
-    if typ == "GEOMETRYCOLLECTION":
-        out = []
-        for sub in data:
-            out.extend(wkt_to_4d_array_from_parsed(sub))
-        return out
-    return []
+    return wkt_to_4d_array_from_parsed(parse_wkt(wkt))
 
 
 def wkt_to_4d_array_from_parsed(parsed) -> list:
@@ -147,6 +133,14 @@ def wkt_to_4d_array_from_parsed(parsed) -> list:
         return [[r.tolist() for r in data]]
     if typ == "MULTIPOLYGON":
         return [[r.tolist() for r in poly] for poly in data]
+    if typ == "GEOMETRYCOLLECTION":
+        # recurse — parse_wkt supports nested collections, and the r4
+        # review found this branch existed only in the (duplicated)
+        # string-input wrapper, silently dropping nested members
+        out = []
+        for sub in data:
+            out.extend(wkt_to_4d_array_from_parsed(sub))
+        return out
     return []
 
 
@@ -218,7 +212,7 @@ def points_in_geom(px, py, wkt_or_parsed) -> np.ndarray:
     if typ == "GEOMETRYCOLLECTION":
         out = np.zeros(n, dtype=bool)
         for sub in data:
-            if sub[0] in ("POLYGON", "MULTIPOLYGON"):
+            if sub[0] in ("POLYGON", "MULTIPOLYGON", "GEOMETRYCOLLECTION"):
                 out |= points_in_geom(px, py, sub)
         return out
     return np.zeros(n, dtype=bool)

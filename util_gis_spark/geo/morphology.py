@@ -59,6 +59,10 @@ def rasterize_polyline(xy: np.ndarray, pad_m: float, g: float = DEFAULT_GRID_M) 
     """Mark every cell the polyline passes through (dense sampling at
     g/2 steps along each segment)."""
     xy = np.asarray(xy, dtype=np.float64)
+    if len(xy) == 0:
+        # degrade like the WKT stack: an upstream-filtered-to-zero
+        # trajectory yields an empty raster, not a numpy reduce crash
+        return Raster(np.zeros((1, 1), dtype=bool), 0.0, 0.0, g)
     x0, y0, nx, ny = _grid_for(xy, pad_m, g)
     mask = np.zeros((ny, nx), dtype=bool)
     if len(xy) == 1:
@@ -163,13 +167,21 @@ def exterior_closing(r: Raster, d_m: float) -> Raster:
     holes = [ring for ring, s in rings if not s]
     if not shells:
         return r
+    # pad the working grid by the closing distance: clipped at the
+    # border, +d dilation saturates and -d erosion cannot pull it
+    # back, sealing the mask to the edge with phantom area (r4 review)
     ny, nx = r.mask.shape
-    shell_mask = rasterize_rings(shells, r.x0, r.y0, nx, ny, r.g)
-    closed = closing(Raster(shell_mask, r.x0, r.y0, r.g), d_m)
+    extra = int(np.ceil(d_m / r.g)) + 2
+    x0p, y0p = r.x0 - extra * r.g, r.y0 - extra * r.g
+    nxp, nyp = nx + 2 * extra, ny + 2 * extra
+    shell_mask = rasterize_rings(shells, x0p, y0p, nxp, nyp, r.g)
+    closed_mask = closing(Raster(shell_mask, x0p, y0p, r.g), d_m).mask
+    # crop back to the caller's frame: padding is an internal detail
+    closed_mask = closed_mask[extra : extra + ny, extra : extra + nx]
     if holes:
         hole_mask = rasterize_rings(holes, r.x0, r.y0, nx, ny, r.g)
-        closed = Raster(closed.mask & ~hole_mask, r.x0, r.y0, r.g)
-    return closed
+        closed_mask = closed_mask & ~hole_mask
+    return Raster(closed_mask, r.x0, r.y0, r.g)
 
 
 # ----------------------------------------------------------- vectorize
@@ -180,8 +192,14 @@ def trace_rings(r: Raster, simplify_tol: float | None = None) -> list[tuple[np.n
     """Extract the mask boundary as closed rings in metric coords.
 
     Returns [(ring Nx2, is_shell), ...]: shells are CCW (positive
-    area), holes CW. Pixel-edge loops stitched with interior-on-the-
-    left orientation; ambiguous checkerboard corners resolved by
+    area), holes CW. NOTE: at a diagonal pinch (two foreground cells
+    touching corner-to-corner) the left-turn rule keeps ONE loop that
+    self-touches at the pinch vertex — area/mu and even-odd
+    containment are exact on such rings, but they are non-simple by
+    OGC rules; run a make_valid/buffer(0) repair before handing the
+    WKT to a strict consumer (tests pin this behavior). Pixel-edge
+    loops stitched with interior-on-the-left orientation; ambiguous
+    checkerboard corners resolved by
     preferring the left turn (8-connected background split), which
     keeps each loop simple. Rings optionally Douglas-Peucker smoothed
     (tol in meters) to remove the grid staircase."""
@@ -255,11 +273,17 @@ def trace_rings(r: Raster, simplify_tol: float | None = None) -> list[tuple[np.n
             body = ring[:-1]
             if len(body) > 1024:
                 # chunked DP: linear instead of O(n^2) on huge
-                # staircase rings; slightly less aggressive, same tol
-                parts = [
-                    douglas_peucker(body[i : i + 512 + 1], simplify_tol)[:-1]
-                    for i in range(0, len(body), 512)
-                ]
+                # staircase rings; slightly less aggressive, same tol.
+                # Chunks overlap by one point, so every chunk drops its
+                # last vertex to dedup the shared boundary — EXCEPT the
+                # final chunk, whose last vertex is body[-1] and shared
+                # with nothing (dropping it put a systematic ~g kink at
+                # the ring seam, r4 review).
+                starts = list(range(0, len(body), 512))
+                parts = []
+                for si, i in enumerate(starts):
+                    dp = douglas_peucker(body[i : i + 512 + 1], simplify_tol)
+                    parts.append(dp if si == len(starts) - 1 else dp[:-1])
                 body = np.vstack(parts)
             body = douglas_peucker(body, simplify_tol) if len(body) <= 4096 else body
             if len(body) >= 3:
@@ -276,20 +300,35 @@ def rings_to_polygons(rings: list[tuple[np.ndarray, bool]]) -> list[list[np.ndar
     shells.sort(key=lambda t: t[1])  # smallest first
     polys: list[list[np.ndarray]] = [[s] for s, _ in shells]
     for hole in holes:
-        px, py = hole[0, 0], hole[0, 1]
-        for i, (shell, _a) in enumerate(shells):
-            if points_in_ring([px], [py], shell)[0]:
-                polys[i].append(hole)
+        # shells and holes were DP-simplified independently, so a
+        # shell may cut inward by up to the tolerance across any one
+        # hole vertex — test vertices until one lands inside a shell
+        # (majority of them must: the hole is interior by
+        # construction), and as a last resort attach to the sole
+        # shell rather than silently filling the hole solid (r4
+        # review: dropped holes overcounted mu with no error)
+        attached = False
+        for vx, vy in hole[:-1]:
+            for i, (shell, _a) in enumerate(shells):
+                if points_in_ring([vx], [vy], shell)[0]:
+                    polys[i].append(hole)
+                    attached = True
+                    break
+            if attached:
                 break
+        if not attached and len(polys) == 1:
+            polys[0].append(hole)
     # emit largest-first (stable, reference sorts by area where relevant)
     order = np.argsort([-abs_area(p[0]) for p in polys])
     return [polys[i] for i in order]
 
 
 def abs_area(ring: np.ndarray) -> float:
-    return float(
-        abs(np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])) / 2.0
-    )
+    # one shoelace kernel for the whole repo (geometry.shoelace_area
+    # close-rings defensively; our rings are already closed)
+    from .geometry import shoelace_area
+
+    return shoelace_area(ring)
 
 
 def rasterize_rings(
