@@ -746,3 +746,72 @@ class TestReviewRegressionsR4:
 
         with _pytest.raises(ValueError, match="empty candidate"):
             _cand_arrays([])
+
+
+class TestR4TrajectoryPlotsRegressions:
+    def test_speed_average_includes_no_interval_devices(self, spark):
+        """A device with no positive whole-second interval must appear
+        with the documented 0.0, not vanish (its presence in the
+        output anchors on the device set, not the modal table)."""
+        import datetime as dt
+
+        from util_gis_spark.operators.trajectory import speed_average
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (1, t0, 116.0, 39.5, 1.0, 10),
+                (1, t0 + dt.timedelta(seconds=1), 116.001, 39.5, 1.0, 11),
+                (2, t0, 116.0, 39.6, 1.0, 20),  # single point: no interval
+            ],
+            "device_id long, ts timestamp, lon double, lat double, speed double, point_id long",
+        )
+        rows = {r["device_id"]: r["speed_avg_ms"] for r in speed_average(df).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2] == 0.0 and rows[1] > 0.0
+
+    def test_sessionizers_emit_same_shape(self, spark):
+        import datetime as dt
+
+        from util_gis_spark.operators.trajectory import (
+            sessionize_by_distance,
+            sessionize_by_time,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 116.0, 39.5, 10)],
+            "device_id long, ts timestamp, lon double, lat double, point_id long",
+        )
+        a = set(sessionize_by_time(df).columns)
+        b = set(sessionize_by_distance(df).columns)
+        assert a == b  # no leaked helper columns on either side
+
+    def test_plots_all_null_ts_device_yields_no_plots(self, spark):
+        import datetime as dt
+
+        from util_gis_spark.operators.plots import get_farm_plot, split_road
+
+        rows = [(1, None, 116.0, 39.5, i) for i in range(5)] + [
+            (2, dt.datetime(2024, 1, 1, 0, 0, s), 116.0 + s * 1e-5, 39.5, 100 + s)
+            for s in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "device_id long, ts timestamp, lon double, lat double, point_id long"
+        )
+        # must not crash; the all-null device contributes nothing
+        farm = get_farm_plot(df, working_width=3.0).collect()
+        assert all(r["device_id"] == 2 for r in farm)
+        road = split_road(df, working_width=3.0).collect()
+        assert all(r["device_id"] == 2 for r in road)
+
+    def test_split_road_rejects_unknown_option(self, spark):
+        import pytest as _pytest
+
+        from util_gis_spark.operators.plots import split_road
+
+        df = spark.createDataFrame(
+            [], "device_id long, ts timestamp, lon double, lat double, point_id long"
+        )
+        with _pytest.raises(TypeError, match="unknown option"):
+            split_road(df, 3.0, algorithmm=1)

@@ -124,7 +124,10 @@ def build_split_road_plots(
     from .windows import np_split_time_windows
 
     n = len(xy)
-    if n < min_return_points:
+    if n <= min_return_points:
+        # aligned with the reference's strict `> MIN_RETURN_POINTS`
+        # everywhere (G:9006/9500); equivalent outcome either way since
+        # every emitted part needs > min_return_points interior points
         return []
     win_id, win_label = np_split_time_windows(ts_s.astype(np.int64))
     plots: list[dict] = []
@@ -369,15 +372,15 @@ def _dedup_overlaps(plots: list[dict], grid_m: float) -> list[dict]:
     if len(plots) <= 1:
         return plots
     order = sorted(range(len(plots)), key=lambda i: -plots[i]["mu"])
+    envs = [_rings_env(p["_rings_g"]) for p in plots]  # once per plot, not per pair
     kept: list[int] = []
     for i in order:
         ri = plots[i]["_rings_g"]
-        env_i = _rings_env(ri)
+        env_i = envs[i]
         drop = False
         for j in kept:
             rj = plots[j]["_rings_g"]
-            env_j = _rings_env(rj)
-            if not _env_intersect(env_i, env_j):
+            if not _env_intersect(env_i, envs[j]):
                 continue
             ratio = _overlap_ratio(ri, rj, grid_m)
             if ratio >= OVERLAP_DEDUP_RATIO:
@@ -448,6 +451,10 @@ def _traj_arrays(pdf: pd.DataFrame):
     from .grouped import sorted_with_secs
 
     pdf, ts_s = sorted_with_secs(pdf)
+    if len(pdf) == 0:
+        # a group whose every ts was NULL: emit no plots, never crash
+        # the task on an empty-array reduction (r4 review)
+        return np.zeros((0, 2)), ts_s, 0
     lon = pdf["lon"].to_numpy(np.float64)
     lat = pdf["lat"].to_numpy(np.float64)
     zone = gauss.unified_zone(float(lon.min()), float(lon.max()))
@@ -469,8 +476,23 @@ def get_farm_plot(points_df: DataFrame, working_width: float) -> DataFrame:
     return grouped_apply(points_df, ["device_id"], run, PLOT_SCHEMA)
 
 
+SPLIT_ROAD_OPTIONS = {
+    "grid_m",
+    "min_return_points",
+    "min_return_mu",
+    "max_return_clusters",
+    "algorithm",
+}
+
+
 def split_road(points_df: DataFrame, working_width: float, **kw) -> DataFrame:
     """DataFrame operator: multi-plot road-splitting per device."""
+    unknown = set(kw) - SPLIT_ROAD_OPTIONS
+    if unknown:
+        # eager driver-side check, same convention as pip_join /
+        # filter_parking_by_time_window: a typo'd option must not cost
+        # a full job run to surface as an executor TypeError
+        raise TypeError(f"split_road: unknown option(s) {sorted(unknown)}")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         xy, ts_s, zone = _traj_arrays(pdf)

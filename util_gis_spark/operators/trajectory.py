@@ -74,7 +74,7 @@ def sessionize_by_time(df: DataFrame, max_gap_s: int = 300) -> DataFrame:
             "cut", F.when(F.col("prev_ts").isNull() | (F.col("dt_s") > max_gap_s), 1).otherwise(0)
         )
         .withColumn("seg_id", F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .drop("prev_ts", "cut")
+        .drop("prev_ts", "cut", "dt_s")
     )
 
 
@@ -243,14 +243,21 @@ def speed_average(df: DataFrame) -> DataFrame:
     agg = seg.groupBy("device_id").agg(
         F.sum("dist_m").alias("_d"), F.sum(F.col("dt_ms") / 1000.0).alias("_t")
     )
-    return modal.join(agg, "device_id", "left").select(
-        "device_id",
-        F.round(
-            F.when(F.col("_t").isNull() | (F.col("_t") == 0), 0.0).otherwise(
-                F.col("_d") / F.col("_t")
-            ),
-            4,
-        ).alias("speed_avg_ms"),
+    # anchor on ALL devices, not the modal table: a device with no
+    # positive whole-second interval (single point, duplicate ts) must
+    # return the documented 0, not vanish from the output (r4 review)
+    devices = df.select("device_id").distinct()
+    return (
+        devices.join(agg, "device_id", "left")
+        .select(
+            "device_id",
+            F.round(
+                F.when(F.col("_t").isNull() | (F.col("_t") == 0), 0.0).otherwise(
+                    F.col("_d") / F.col("_t")
+                ),
+                4,
+            ).alias("speed_avg_ms"),
+        )
     )
 
 
@@ -281,11 +288,11 @@ WITH stepped AS (
     AND abs(s.dt_ms / 1000.0 - m.modal_interval_s) <= 0.1
     AND ({hv}) / (s.dt_ms / 1000.0) <= 200.0
 )
-SELECT m.device_id,
+SELECT d.device_id,
        round(CASE WHEN a._t IS NULL OR a._t = 0 THEN 0.0 ELSE a._d / a._t END, 4) AS speed_avg_ms
-FROM modal m LEFT JOIN (
+FROM (SELECT DISTINCT device_id FROM ({points_src})) d LEFT JOIN (
   SELECT device_id, sum(dist_m) AS _d, sum(dt_s) AS _t FROM seg GROUP BY device_id
-) a ON m.device_id = a.device_id
+) a ON d.device_id = a.device_id
 """
 
 
