@@ -290,7 +290,7 @@ w1 AS (SELECT *, lag(label) OVER (PARTITION BY device_id ORDER BY raw_id) AS pla
 mg AS (SELECT *, sum(CASE WHEN label = plabel THEN 0 ELSE 1 END)
            OVER (PARTITION BY device_id ORDER BY raw_id ROWS UNBOUNDED PRECEDING) - 1 AS window_id FROM w1)
 SELECT device_id, CAST(window_id AS BIGINT) AS window_id, CAST(label AS BIGINT) AS window_interval_s,
-       sum(n) AS n_points, min(st) AS start_ts, max(en) AS end_ts
+       CAST(sum(n) AS BIGINT) AS n_points, min(st) AS start_ts, max(en) AS end_ts
 FROM mg GROUP BY 1, 2, 3
 """
 
