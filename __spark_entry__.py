@@ -48,4 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return Q.oracles()
+    # Q.oracles() also carries twins/pins for retired catalogue rows
+    # (kept pytest-gated); the driver artifact records exactly the
+    # catalogue's 50 keys, so the contract exposes exactly those.
+    qs = set(Q.catalogue())
+    return {k: v for k, v in Q.oracles().items() if k in qs}

@@ -128,6 +128,23 @@ def main() -> None:
 
     run("knn_join_grid", knn_grid, reps=2)
 
+    # --- amortized variant (VERDICT r4 "Next round" #4): the cold row
+    # above conflates the one-time candidate scan + Arrow collect + CSR
+    # build + broadcast with the steady-state probe cost. A session
+    # running many kNN joins against one candidate set pays the build
+    # once (knn_index_build row) and each join is just the probe kernel
+    # (knn_join_grid_warm row, min-of-reps over the reused handle).
+    cand_df = filters.filter_wgs84_points(D.gps_points(spark, sf_dir)).select(
+        F.col("point_id").alias("cand_id"), "lon", "lat"
+    )
+    run("knn_index_build", lambda: joins.build_knn_index(spark, cand_df).n_candidates)
+    _knn_idx = joins.build_knn_index(spark, cand_df)
+    probes_warm = D.images_range(spark, 500_000, cpus).select(
+        F.col("image_key").alias("probe_id"), "lon", "lat"
+    )
+    run("knn_join_grid_warm", lambda: joins.knn_join_grid(probes_warm, _knn_idx).count(), reps=3)
+    _knn_idx.unpersist()
+
     # --- GPS trajectory pipeline: filter -> sessionize -> mileage
     def gps_pipeline():
         pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))

@@ -473,8 +473,61 @@ def check_kalman_rows(rows: list[dict], sf_dir: str = SF) -> list[str]:
     return errs
 
 
+# --- mutual_difference: the fixture (queries.q_mutual_difference)
+# stacks, per group g, members r = 0..4 at y = 39.5 + 0.05 r (height
+# 0.08 -> 0.03 overlap with BOTH vertical neighbors), all with the
+# same 0.06-deg width at x0 = 116 + 0.15 g. Each member's mutual
+# difference (member minus union of all others) is the horizontal
+# strip covered by no neighbor: [y0, y0+0.05] for r=0 (nothing below),
+# [y0+0.03, y0+0.05] for interior members (clipped by r-1's top edge
+# at y0+0.03 and r+1's bottom edge at y0+0.05), [y0+0.03, y0+0.08] for
+# r=4 (nothing above). All strips are axis-aligned rectangles with
+# closed-form spherical areas. The raster bound-error scale
+# (perimeter * g / area at the adaptive g ~ 6.3 m) is ~0.8% for the
+# thinnest 0.02-deg strips with measured error ~1/3 of that; bound set
+# at +/-1.5% — any real bug (wrong neighbor, off-by-a-band) is a
+# >= 30% area error.
+MUTUAL_MU_RTOL = 0.015
+
+
+def mutual_expectations() -> dict[tuple[int, int], tuple[float, float]]:
+    out = {}
+    for grp in range(5):
+        x0 = 116.0 + grp * 0.15
+        for r in range(5):
+            y0 = 39.5 + 0.05 * r
+            if r == 0:
+                mu = spherical_rect_mu(x0, x0 + 0.06, y0, y0 + 0.05)
+            elif r == 4:
+                mu = spherical_rect_mu(x0, x0 + 0.06, y0 + 0.03, y0 + 0.08)
+            else:
+                mu = spherical_rect_mu(x0, x0 + 0.06, y0 + 0.03, y0 + 0.05)
+            out[(grp, r)] = (mu * (1 - MUTUAL_MU_RTOL), mu * (1 + MUTUAL_MU_RTOL))
+    return out
+
+
+def check_mutual_rows(rows: list[dict]) -> list[str]:
+    exp = mutual_expectations()
+    errs = []
+    got = {(int(r["grp"]), int(r["member_idx"])): float(r["mu_approx"]) for r in rows}
+    if len(got) != len(rows):
+        errs.append("mutual_difference: duplicate (grp, member_idx) rows")
+    if set(got) != set(exp):
+        errs.append(
+            f"mutual_difference: member set {sorted(got)} != expected {sorted(exp)}"
+        )
+    for key in sorted(set(got) & set(exp)):
+        lo, hi = exp[key]
+        if not (lo <= got[key] <= hi):
+            errs.append(
+                f"mutual_difference {key}: mu {got[key]} outside [{lo:.1f}, {hi:.1f}]"
+            )
+    return errs
+
+
 #: name -> checker for every pin make_goldens gates beyond the flagships
 PIN_CHECKS = {
+    "mutual_difference": lambda rows, sf: check_mutual_rows(rows),
     "conflict_resolution": lambda rows, sf: check_conflict_rows(rows),
     "merge_polygons": lambda rows, sf: check_merge_rows(rows),
     "images_decode_stats": check_decode_stats_rows,

@@ -33,6 +33,11 @@ TARGETS = {
     # SQL-expressible there (windows.split_time_windows_summary_sql).
     "merge_polygons": "raster n-ary union (mergeWgs84WKT)",
     "conflict_resolution": "raster larger-wins clip loop",
+    "mutual_difference": "raster mutual-difference (differenceGeometry)",
+    # images_resize_stats / video_frame_sample were rotated OUT of the
+    # 50-key catalogue in r5; their pins stay generated (and gated) for
+    # tests/test_retired_rows_oracle.py, which re-runs the driver's
+    # exact compare on them.
     "gps_kalman_drift": "Kalman recursion (extension)",
     "images_decode_stats": "binary decode kernel",
     "images_psnr_check": "binary re-encode roundtrip",
@@ -87,8 +92,13 @@ def main() -> None:
     import __spark_entry__ as E
     from independent_goldens import PIN_CHECKS, check_flagship_rows
 
+    from util_gis_spark import queries as Q
+
     spark = get_spark("goldens", master="local[16]", shuffle_partitions=16)
-    qs = E.queries()
+    qs = dict(E.queries())
+    # retired catalogue rows keep gated pins for the pytest gate replica
+    qs.setdefault("images_resize_stats", Q.q_images_resize_stats)
+    qs.setdefault("video_frame_sample", Q.q_video_frame_sample)
     out = {}
     for name, why in TARGETS.items():
         df = qs[name](spark, SF)

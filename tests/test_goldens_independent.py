@@ -63,11 +63,15 @@ class TestDriverContract:
         the catalogue."""
         import __spark_entry__ as E
         from make_goldens import TARGETS
+        from util_gis_spark import queries as Q
 
         qs = E.queries()
         os_ = E.oracle_sql()
         assert set(qs) == set(os_)
-        assert set(TARGETS) <= set(qs)
+        assert len(qs) == 50  # the driver artifact records exactly 50 rows
+        # every golden target has a pin (retired rows keep theirs for
+        # the pytest gate replica, outside the driver's 50)
+        assert set(TARGETS) <= set(Q.oracles())
         # the r2 driver snapshot truncated at 50 rows: the kNN ladder's
         # query must sit inside the first 50 catalogue positions
         assert list(qs).index("images_knn_points") < 50
@@ -124,6 +128,27 @@ class TestR4PinsAreIndependentlyValid:
                 r["mu_approx"] = round(spherical_rect_mu(x0, x0 + 0.07 - 0.008, y0, y0 + 0.07), 1)
         errs = check_conflict_rows(rows)
         assert any("outside" in e for e in errs)
+
+    def test_mutual_unclipped_member_is_caught(self):
+        """The defining bug: a member that kept its FULL rectangle
+        instead of losing the regions shared with its neighbors must
+        violate the analytic strip area."""
+        from independent_goldens import check_mutual_rows, spherical_rect_mu
+
+        rows = _golden_rows("mutual_difference")
+        for r in rows:
+            if r["grp"] == 2 and r["member_idx"] == 1:
+                x0 = 116.0 + 2 * 0.15
+                y0 = 39.5 + 0.05 * 1
+                r["mu_approx"] = round(spherical_rect_mu(x0, x0 + 0.06, y0, y0 + 0.08), 1)
+        assert any("outside" in e for e in check_mutual_rows(rows))
+
+    def test_mutual_missing_member_is_caught(self):
+        from independent_goldens import check_mutual_rows
+
+        rows = _golden_rows("mutual_difference")
+        errs = check_mutual_rows([r for r in rows if not (r["grp"] == 0 and r["member_idx"] == 4)])
+        assert any("member set" in e for e in errs)
 
     def test_merge_dropped_rect_is_caught(self):
         from independent_goldens import check_merge_rows

@@ -73,6 +73,27 @@ class TestSplitTimeOverlaps:
         # first clipped to 9; second survives
         assert out == [(0, 9.0), (10, 20)]
 
+    def test_sub_second_neighbor_dropped(self):
+        # clip target next_start - 1 falls BEFORE the range's own start
+        out = np_split_time_overlaps([(10.0, 30.0), (10.5, 40.0)])
+        assert out == [(10.5, 40.0)]
+
+    def test_dataframe_wrapper_matches_np(self, spark):
+        from util_gis_spark.operators.parking import split_time_overlaps
+
+        raw = {
+            1: [(0.0, 100.0), (50.0, 150.0), (200.0, 300.0)],
+            2: [(10.0, 30.0), (10.5, 40.0)],  # first range fully dropped
+            3: [(5.0, 6.0)],
+        }
+        rows = [(d, s, e) for d, rs in raw.items() for s, e in rs]
+        df = spark.createDataFrame(rows, "device_id long, start_s double, end_s double")
+        got: dict = {}
+        for r in split_time_overlaps(df).collect():
+            got.setdefault(r["device_id"], []).append((r["start_s"], r["end_s"]))
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == {d: sorted(np_split_time_overlaps(rs)) for d, rs in raw.items()}
+
 
 class TestDriftVerdict:
     def test_drift_vs_field(self, spark):

@@ -18,6 +18,8 @@ bucket, AQE skew handling for hot buckets (boilerplate dedup text).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -145,12 +147,8 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
                     sh = sorted({f"{x} {y}" for x, y in zip(toks, toks[1:])})
                 if not sh:
                     continue
-                h = np.array(
-                    [
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MOD30
-                        for s in sh
-                    ],
-                    dtype=np.int64,
+                h = np.fromiter(
+                    (_md5_60(s) % MOD30 for s in sh), dtype=np.int64, count=len(sh)
                 )
                 sig = ((a * h[None, :] + b) % _P).min(axis=1)
                 ids.append(doc_id)
@@ -470,6 +468,34 @@ def simhash_sql() -> str:
     return " + ".join(terms)
 
 
+# Per-worker md5 memo shared by the simhash token and minhash shingle
+# kernels: natural-language vocabulary is orders of magnitude smaller
+# than token/shingle INSTANCES, so the md5-per-string loop — the
+# measured floor of the generated-corpus ladder after the r4 Arrow
+# kernels — collapses to dict hits after warm-up. Pure memoization of
+# a deterministic function (bit-identical output, asserted by the
+# kernel-vs-HOF parity test and the driver oracles); bounded so a
+# pathological vocabulary (random strings) cannot grow worker RSS
+# unboundedly — at the cap the kernel simply computes md5 again.
+_MD5_CACHE: dict = {}
+_MD5_CACHE_MAX = 1 << 20
+
+
+def _md5_60(s: str) -> int:
+    """int(md5(s).hexdigest()[:15], 16) — the shared 60-bit hash both
+    dedup kernels reduce (mod 2^32 / 2^30) to their domains."""
+    v = _MD5_CACHE.get(s)
+    if v is None:
+        v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_MD5_CACHE) < _MD5_CACHE_MAX:
+            _MD5_CACHE[s] = v
+    return v
+
+
+def _token_hash32(t: str) -> int:
+    return _md5_60(t) % MOD32
+
+
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — token-level 32-bit simhash (32 effective
     bits). Arrow kernel (r4): the HOF formulation ran 32 filter passes
@@ -481,8 +507,6 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     bit-identical to simhash_expr()/the DuckDB twin, asserted by the
     docs_simhash oracle and a dedicated parity test. Works unchanged
     under Structured Streaming (stateless mapInPandas)."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -508,12 +532,8 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
                 toks = {t for t in ws.split(text) if t}
                 if not toks:
                     continue
-                h = np.array(
-                    [
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MOD32
-                        for t in toks
-                    ],
-                    dtype=np.int64,
+                h = np.fromiter(
+                    (_token_hash32(t) for t in toks), dtype=np.int64, count=len(toks)
                 )
                 bits = (h[:, None] >> np.arange(SIMHASH_BITS)) & 1
                 sim = int(weights[2 * bits.sum(axis=0) > len(h)].sum())

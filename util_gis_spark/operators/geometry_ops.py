@@ -315,6 +315,42 @@ def resolve_conflicts_agg(
     return grouped_apply(df, group_cols, run, out_schema)
 
 
+def mutual_difference_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    wkt_col: str = "wkt",
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Grouped mutual difference (differenceGeometry G:9258-9345): per
+    group, every geometry loses all regions it shares with any other
+    member; emits one (member_idx, wkt, mu) row per input member.
+
+    `sort_cols` pins the member order inside each group (Spark does not
+    guarantee intra-group row order) so member_idx is deterministic."""
+    out_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in group_cols]
+        + [
+            T.StructField("member_idx", T.IntegerType()),
+            T.StructField("wkt", T.StringType()),
+            T.StructField("mu", T.DoubleType()),
+        ]
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        rows = np_mutual_difference(list(pdf[wkt_col]))
+        base = {c: [k] * len(rows) for c, k in zip(group_cols, key)}
+        base["member_idx"] = np.arange(len(rows), dtype=np.int32)
+        base["wkt"] = [r[0] for r in rows]
+        base["mu"] = [r[1] for r in rows]
+        return pd.DataFrame(base)
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, group_cols, run, out_schema)
+
+
 # ---------------------------------------------------------- Spark layer
 def intersect_with_clip(df: DataFrame, clip_wkt: str, wkt_col: str = "wkt") -> DataFrame:
     """Per-row intersection with a fixed clip geometry: adds

@@ -216,6 +216,56 @@ def filter_parking_points_by_index(df_projected: DataFrame, **kw) -> DataFrame:
     return grouped_apply(df_projected, ["device_id"], run, schema)
 
 
+def split_time_overlaps(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFrame:
+    """splitTimeOverlaps (G:8385-8485) as a grouped-map operator: per
+    group, sort ranges by start and clip each range's end to
+    next_start - 1 s where it overlaps the next range; ranges whose
+    clipped end falls before their start are dropped. One shuffle on
+    the group key; the single sorted pass is the reference loop's
+    fixpoint (a clipped end next_start - 1 can never still overlap the
+    range after next)."""
+    from pyspark.sql import types as T
+
+    cols = list(group_cols)
+    schema = T.StructType(
+        [T.StructField(c, ranges_df.schema[c].dataType) for c in cols]
+        + [T.StructField("start_s", T.DoubleType()), T.StructField("end_s", T.DoubleType())]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = np_split_time_overlaps(
+            list(zip(pdf["start_s"].astype(float), pdf["end_s"].astype(float)))
+        )
+        out = pd.DataFrame(
+            {
+                "start_s": np.array([s for s, _ in res], dtype=np.float64),
+                "end_s": np.array([e for _, e in res], dtype=np.float64),
+            }
+        )
+        for c in reversed(cols):
+            out.insert(0, c, pd.Series([pdf[c].iloc[0]] * len(out), dtype=pdf[c].dtype))
+        return out
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(ranges_df.select(*cols, "start_s", "end_s"), cols, run, schema)
+
+
+def split_time_overlaps_sql(ranges_src: str) -> str:
+    """DuckDB twin of split_time_overlaps: `ranges_src` must yield
+    (device_id, start_s, end_s)."""
+    return f"""
+WITH r AS ({ranges_src}),
+c AS (SELECT device_id, start_s, end_s,
+             lead(start_s) OVER (PARTITION BY device_id ORDER BY start_s, end_s) AS nxt
+      FROM r),
+f AS (SELECT device_id, start_s,
+             CASE WHEN nxt IS NOT NULL AND end_s > nxt THEN nxt - 1.0 ELSE end_s END AS end_s
+      FROM c)
+SELECT device_id, start_s, end_s FROM f WHERE end_s >= start_s
+"""
+
+
 def np_split_time_overlaps(ranges: list[tuple[float, float]]) -> list[tuple[float, float]]:
     """splitTimeOverlaps: sort by start; clip each range's end to
     next_start - 1 s when it overlaps the next (iterated to fixpoint

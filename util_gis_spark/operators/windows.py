@@ -295,6 +295,50 @@ FROM mg GROUP BY 1, 2, 3
 """
 
 
+def median_smooth_summary_sql(
+    proj_src: str,
+    k: int = 5,
+    speed_threshold_ms: float = 0.05,
+    min_parking_s: float = 120.0,
+) -> str:
+    """DuckDB twin of median_smooth_filter (G:7251-7386) summarized per
+    device: `proj_src` must yield projected points (device_id,
+    point_id, ts, x, y). The kernel is exactly SQL-expressible: the
+    centered shrunk median window is a ROWS BETWEEN frame (DuckDB
+    median interpolates even-sized windows like numpy), speed is the
+    mean of dist/dt to the prev/next SMOOTHED point (edges = +inf,
+    never slow), and the low-speed-run removal is gaps-and-islands over
+    the slow flag with the run's raw-time span tested against
+    min_parking_s."""
+    half = k // 2
+    return f"""
+WITH proj AS ({proj_src}),
+s AS (SELECT device_id, point_id, ts, x, y, epoch_us(ts)/1000000.0 AS sec FROM proj),
+sm AS (SELECT *, median(x) OVER win5 AS sx, median(y) OVER win5 AS sy FROM s
+       WINDOW win5 AS (PARTITION BY device_id ORDER BY ts, point_id
+                       ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)),
+nb AS (SELECT *, lag(sx) OVER win AS px, lag(sy) OVER win AS py,
+              lead(sx) OVER win AS qx, lead(sy) OVER win AS qy,
+              lag(sec) OVER win AS psec, lead(sec) OVER win AS qsec
+       FROM sm WINDOW win AS (PARTITION BY device_id ORDER BY ts, point_id)),
+sp AS (SELECT *, CASE WHEN px IS NULL OR qx IS NULL THEN FALSE
+            ELSE (sqrt((sx-px)*(sx-px)+(sy-py)*(sy-py)) / greatest(sec-psec, 1e-9)
+                + sqrt((qx-sx)*(qx-sx)+(qy-sy)*(qy-sy)) / greatest(qsec-sec, 1e-9)) / 2.0
+                 <= {speed_threshold_ms!r} END AS slow
+       FROM nb),
+rg AS (SELECT *, sum(CASE WHEN slow AND NOT coalesce(pslow, FALSE) THEN 1 ELSE 0 END)
+            OVER (PARTITION BY device_id ORDER BY ts, point_id ROWS UNBOUNDED PRECEDING) AS rid
+       FROM (SELECT *, lag(slow) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS pslow
+             FROM sp)),
+runs AS (SELECT device_id, rid, max(sec) - min(sec) AS dur FROM rg WHERE slow GROUP BY 1, 2),
+kept AS (SELECT rg.device_id, rg.point_id
+         FROM rg LEFT JOIN runs USING (device_id, rid)
+         WHERE NOT rg.slow OR runs.dur < {min_parking_s!r})
+SELECT device_id, count(*) AS n_kept, CAST(sum(point_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY device_id
+"""
+
+
 # --------------------------------------------------------- time overlaps
 def has_time_overlap(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFrame:
     """hasTimeOverlap (G:10128-10151): sort ranges by start; overlap

@@ -223,6 +223,97 @@ def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", "member_idx", F.round("mu", 1).alias("mu_approx"))
 
 
+def q_mutual_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual difference (differenceGeometry G:9258-9345): every member
+    loses all regions it shares with any other member of its group;
+    oracle = golden rows (raster difference areas are grid-approximate
+    but deterministic), gated before pinning by the EXACT analytic
+    derivation in scripts/independent_goldens.py.
+
+    Fixture: group g holds members r = 0..4 stacked at y = 39.5 +
+    0.05*r (height 0.08 -> 0.03-deg overlap with the previous member),
+    all with the same 0.06-deg width, so each member's mutual
+    difference is the axis-aligned strip covered by no neighbor:
+    [y0, y0+0.05] for r=0, [y0+0.03, y0+0.05] for interior members,
+    [y0+0.03, y0+0.08] for r=4 — closed-form spherical areas."""
+    from .operators.geometry_ops import mutual_difference_agg
+
+    p = D.polygons(spark, sf_dir)
+    rank = F.floor(F.col("polygon_id") / 5).cast("long")
+    xmin = 116.0 + (F.col("polygon_id") % 5) * 0.15
+    ymin = 39.5 + rank * 0.05
+    shifted = p.select(
+        F.col("polygon_id"),
+        (F.col("polygon_id") % 5).alias("grp"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 0.06).alias("xmax"),
+        (ymin + 0.08).alias("ymax"),
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit("))"),
+    )
+    out = mutual_difference_agg(shifted.withColumn("wkt", wkt), ["grp"], sort_cols=["polygon_id"])
+    return out.select("grp", "member_idx", F.round("mu", 1).alias("mu_approx"))
+
+
+def q_gps_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-filter smoothing + low-speed-run removal
+    (median_smooth_filter, G:7251-7386) over Gauss-projected field
+    trajectories with synthetic 150-s idle stops (the same held fixture
+    gps_parking_index uses — the stops are genuine sub-threshold runs,
+    so the removal rule actually fires); per-device kept count +
+    kept-id checksum. Oracle = full SQL twin
+    (windows.median_smooth_summary_sql) over the SQL-projected twin."""
+    from .operators.projection import project_trajectories
+    from .operators.windows import median_smooth_filter
+
+    pts = project_trajectories(_held_field_points(spark, sf_dir))
+    kept = median_smooth_filter(pts)
+    return kept.groupBy("device_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("point_id").alias("id_sum"),
+    )
+
+
+def _block_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device padded time ranges from the GPS fixture: one range
+    per 600-s block, [min_sec, max_sec + 240] — the +240 padding makes
+    adjacent blocks' ranges genuinely overlap (same derivation in SQL,
+    _BLOCK_RANGES_SQL)."""
+    pts = D.gps_points(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+    # timestamp cast is wall-clock-identity and the double cast yields
+    # exactly DuckDB's epoch_us(ts)/1e6 (micros / 1e6 in both engines).
+    sec = F.col("ts").cast("timestamp").cast("double")
+    return (
+        pts.groupBy("device_id", F.floor(sec / 600.0).alias("_blk"))
+        .agg(F.min(sec).alias("start_s"), (F.max(sec) + 240.0).alias("end_s"))
+        .drop("_blk")
+    )
+
+
+_BLOCK_RANGES_SQL = """
+SELECT device_id, min(sec) AS start_s, max(sec) + 240.0 AS end_s
+FROM (SELECT device_id, epoch_us(ts)/1000000.0 AS sec FROM ({src}))
+GROUP BY device_id, CAST(floor(sec/600.0) AS BIGINT)
+"""
+
+
+def q_gps_time_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitTimeOverlaps (G:8385-8485) over per-device padded block
+    ranges; oracle = full SQL twin (parking.split_time_overlaps_sql
+    over the same range derivation)."""
+    from .operators.parking import split_time_overlaps
+
+    return split_time_overlaps(_block_ranges(spark, sf_dir))
+
+
 def q_polygon_time_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enter/exit intervals of trajectories vs the polygon layer
     (splitPolygonTimeRanges G:8550-8668)."""
@@ -841,8 +932,19 @@ def catalogue() -> dict:
         "images_phash_dups": q_images_phash_dups,
         "images_decode_stats": q_images_decode_stats,
         "images_psnr_check": q_images_psnr_check,
-        "images_resize_stats": q_images_resize_stats,
-        "video_frame_sample": q_video_frame_sample,
+        # r5 rotation (VERDICT r4 "Next round" #5): the catalogue is
+        # capped at 50 driver rows, so three low-information rows made
+        # way for the three operators that had no driver-signed row.
+        # OUT (still pytest-gated with the driver's exact compare by
+        # tests/test_retired_rows_oracle.py): images_resize_stats and
+        # video_frame_sample (golden pins largely redundant with
+        # images_decode_stats' metadata/pixel gates) and docs_simhash
+        # (its signature kernel is exercised transitively by the
+        # docs_simhash_pairs row + the HOF/Arrow parity tests).
+        # IN: gps_median_smooth + gps_time_overlaps (real SQL twins)
+        # and mutual_difference (independently-gated pin).
+        "gps_median_smooth": q_gps_median_smooth,
+        "gps_time_overlaps": q_gps_time_overlaps,
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
@@ -851,7 +953,7 @@ def catalogue() -> dict:
         "docs_clean_corpus": q_docs_clean_corpus,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "embed_cosine_dups": q_embed_cosine_dups,
-        "docs_simhash": q_docs_simhash,
+        "mutual_difference": q_mutual_difference,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "gps_kalman_drift": q_gps_kalman_drift,
         "embed_topk": q_embed_topk,
@@ -871,6 +973,7 @@ def catalogue() -> dict:
 
 def oracles() -> dict[str, str]:
     from . import goldens
+    from .operators import parking as parking_mod
     from .operators import projection as proj_mod
     from .operators import windows as windows_mod
 
@@ -1088,6 +1191,12 @@ FROM (
 )
 GROUP BY device_id
 """,
+        # real twin: on the held fixture the median-smooth state machine
+        # is exactly SQL-expressible (see median_smooth_summary_sql).
+        "gps_median_smooth": windows_mod.median_smooth_summary_sql(held_proj),
+        "gps_time_overlaps": parking_mod.split_time_overlaps_sql(
+            _BLOCK_RANGES_SQL.format(src=D.GPS_POINTS_SQL)
+        ),
         "gps_grid_density": f"""
 WITH proj AS ({field_proj}),
 base AS (SELECT device_id, min(x) AS minx, min(y) AS miny FROM proj GROUP BY device_id),
