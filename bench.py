@@ -67,13 +67,16 @@ def main() -> None:
 
     def run(name, fn, reps: int = 1):
         # this sandbox has heavy co-tenant interference: min-of-reps is
-        # the capability number (reps>1 for the headline)
-        best = None
+        # the capability number (reps>1 for the headline). Re-running a
+        # name accumulates the min, so A/B rows can be INTERLEAVED —
+        # sequential placement under rising tail load is what inverted
+        # the r4 capped-minhash row.
+        best = timings.get(name, float("inf"))
         for _ in range(reps):
             t0 = time.perf_counter()
             counts[name] = fn()
             el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+            best = min(best, el)
         timings[name] = round(best, 3)
 
     # --- headline: spatial join + tile assignment over the image table.
@@ -251,8 +254,6 @@ def main() -> None:
 
             return minhash_near_dup_pairs(docs_gen10).count()
 
-        run("minhash_dedup_gen_10x", minhash_gen10, reps=1)
-
         def minhash_gen10_capped():
             from util_gis_spark.operators.dedup import minhash_near_dup_pairs
 
@@ -261,7 +262,14 @@ def main() -> None:
             # same pair set on this corpus, fewer candidate verifies
             return minhash_near_dup_pairs(docs_gen10, max_band_bucket=32).count()
 
-        run("minhash_dedup_gen_10x_capped", minhash_gen10_capped, reps=1)
+        # interleaved A/B (min accumulates across the two passes): the
+        # r4 artifact ran capped AFTER uncapped at reps=1 under rising
+        # tail load and recorded a 2.2x inversion that a quiet
+        # interleaved re-measure (scripts/bench_band_cap.py) showed to
+        # be noise — capped <= uncapped at identical pair sets.
+        for _ in range(2):
+            run("minhash_dedup_gen_10x", minhash_gen10)
+            run("minhash_dedup_gen_10x_capped", minhash_gen10_capped)
 
         def simhash_gen10():
             from util_gis_spark.operators.dedup import simhash_near_dup_pairs

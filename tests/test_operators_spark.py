@@ -601,6 +601,31 @@ class TestSimhashKernelParity:
         b = {(r["doc_id"], r["simhash"]) for r in simhash_docs_hof(docs).collect()}
         assert a == b and len(a) > 0
 
+    def test_md5_memo_is_transparent_and_bounded(self):
+        """r5: both kernels route per-string md5 through a bounded
+        per-worker memo — hit and miss must return the exact direct
+        computation, and the cache must refuse growth past its cap."""
+        import hashlib
+
+        from util_gis_spark.operators import dedup
+
+        direct = lambda s: int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)  # noqa: E731
+        for s in ("hello", "hello", "é中", ""):
+            assert dedup._md5_60(s) == direct(s)
+        old, old_max = dict(dedup._MD5_CACHE), dedup._MD5_CACHE_MAX
+        try:
+            dedup._MD5_CACHE.clear()
+            dedup._MD5_CACHE_MAX = 2
+            vals = [dedup._md5_60(f"tok{i}") for i in range(10)]
+            assert vals == [direct(f"tok{i}") for i in range(10)]
+            assert len(dedup._MD5_CACHE) <= 2
+            # over-cap strings still compute correctly on repeat calls
+            assert dedup._md5_60("tok9") == direct("tok9")
+        finally:
+            dedup._MD5_CACHE_MAX = old_max
+            dedup._MD5_CACHE.clear()
+            dedup._MD5_CACHE.update(old)
+
 
 class TestKnnIndexHandle:
     def test_prebuilt_index_matches_direct(self, spark, sf_dir):

@@ -313,7 +313,8 @@ def median_smooth_summary_sql(
     half = k // 2
     return f"""
 WITH proj AS ({proj_src}),
-s AS (SELECT device_id, point_id, ts, x, y, epoch_us(ts)/1000000.0 AS sec FROM proj),
+s AS (SELECT device_id, point_id, ts, x, y, epoch_us(ts)/1000000.0 AS sec
+      FROM proj WHERE ts IS NOT NULL),
 sm AS (SELECT *, median(x) OVER win5 AS sx, median(y) OVER win5 AS sy FROM s
        WINDOW win5 AS (PARTITION BY device_id ORDER BY ts, point_id
                        ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)),

@@ -286,7 +286,7 @@ def _block_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per 600-s block, [min_sec, max_sec + 240] — the +240 padding makes
     adjacent blocks' ranges genuinely overlap (same derivation in SQL,
     _BLOCK_RANGES_SQL)."""
-    pts = D.gps_points(spark, sf_dir)
+    pts = D.gps_points(spark, sf_dir).filter(F.col("ts").isNotNull())
     # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
     # timestamp cast is wall-clock-identity and the double cast yields
     # exactly DuckDB's epoch_us(ts)/1e6 (micros / 1e6 in both engines).
@@ -300,7 +300,7 @@ def _block_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOCK_RANGES_SQL = """
 SELECT device_id, min(sec) AS start_s, max(sec) + 240.0 AS end_s
-FROM (SELECT device_id, epoch_us(ts)/1000000.0 AS sec FROM ({src}))
+FROM (SELECT device_id, epoch_us(ts)/1000000.0 AS sec FROM ({src}) WHERE ts IS NOT NULL)
 GROUP BY device_id, CAST(floor(sec/600.0) AS BIGINT)
 """
 
