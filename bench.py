@@ -140,13 +140,24 @@ def main() -> None:
     cand_df = filters.filter_wgs84_points(D.gps_points(spark, sf_dir)).select(
         F.col("point_id").alias("cand_id"), "lon", "lat"
     )
-    run("knn_index_build", lambda: joins.build_knn_index(spark, cand_df).n_candidates)
-    _knn_idx = joins.build_knn_index(spark, cand_df)
+    built: list = []  # keep the LAST timed build as the warm handle
+
+    def build_index():
+        while built:  # release the previous rep's broadcast
+            built.pop().unpersist()
+        built.append(joins.build_knn_index(spark, cand_df))
+        return built[-1].n_candidates
+
+    run("knn_index_build", build_index, reps=2)
     probes_warm = D.images_range(spark, 500_000, cpus).select(
         F.col("image_key").alias("probe_id"), "lon", "lat"
     )
-    run("knn_join_grid_warm", lambda: joins.knn_join_grid(probes_warm, _knn_idx).count(), reps=3)
-    _knn_idx.unpersist()
+    run(
+        "knn_join_grid_warm",
+        lambda: joins.knn_join_grid(probes_warm, built[-1]).count(),
+        reps=3,
+    )
+    built.pop().unpersist()
 
     # --- GPS trajectory pipeline: filter -> sessionize -> mileage
     def gps_pipeline():

@@ -52,6 +52,8 @@ def arrow_canon(t: pa.DataType) -> str:
     if pt.is_struct(t):
         inner = ",".join(f"{f.name}:{arrow_canon(f.type)}" for f in t)
         return f"struct<{inner}>"
+    if pt.is_map(t):
+        return f"map<{arrow_canon(t.key_type)},{arrow_canon(t.item_type)}>"
     if pt.is_null(t):
         return "null"
     return str(t)
@@ -78,9 +80,37 @@ def spark_canon(dt: str) -> str:
         return "binary"
     if dt.startswith("array<") and dt.endswith(">"):
         return f"list<{spark_canon(dt[6:-1])}>"
+    if dt.startswith("struct<") and dt.endswith(">"):
+        inner = []
+        for part in _split_top(dt[7:-1]):
+            name, _, sub = part.partition(":")
+            inner.append(f"{name}:{spark_canon(sub)}")
+        return f"struct<{','.join(inner)}>"
+    if dt.startswith("map<") and dt.endswith(">"):
+        k, v = _split_top(dt[4:-1])
+        return f"map<{spark_canon(k)},{spark_canon(v)}>"
     if dt == "void":
         return "null"
     return dt
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a simpleString field list on top-level commas only
+    (nested struct<...>/array<...>/map<...> commas don't count)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def compare_one(spark, con, name: str, qfn, sql: str | None):

@@ -9,8 +9,11 @@ REJECTS that exact uncast twin, (b) it accepts the CAST-fixed one, and
 pandas-level hash actually performs.
 """
 
+import os
+
 import duckdb
 import pyarrow as pa
+import pytest
 
 from scripts.check_correctness import SF, arrow_canon, compare_one, open_oracle, spark_canon
 from util_gis_spark import datasets as D
@@ -38,8 +41,16 @@ def test_canonicalizers_agree():
     assert spark_canon("timestamp") == "timestamp"
     # the r4 failure shape: int vs decimal must NOT collapse together
     assert arrow_canon(pa.decimal128(38, 0)) != spark_canon("bigint")
+    # nested types canonicalize symmetrically on both sides
+    st = pa.struct([("a", pa.int32()), ("b", pa.list_(pa.float32()))])
+    assert arrow_canon(st) == spark_canon("struct<a:int,b:array<float>>")
+    assert arrow_canon(pa.map_(pa.string(), pa.int64())) == spark_canon("map<string,bigint>")
+    assert spark_canon("struct<a:struct<x:bigint,y:double>,b:int>") == (
+        "struct<a:struct<x:int,y:float>,b:int>"
+    )
 
 
+@pytest.mark.skipif(not os.path.isdir(SF), reason="gate SF dir missing")
 def test_replica_red_on_uncast_r4_twin(spark):
     """The exact round-4 driver-red twin (sum(n) without CAST) must now
     fail the replica's type check — and the shipped CAST twin passes."""
