@@ -3,6 +3,7 @@ projection roundtrip, cell-index invariants, haversine metric
 properties, WKT roundtrip, mu rounding, PIP vs winding."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -170,6 +171,91 @@ class TestGridNearestProperties:
         want_d = d[np.arange(len(plon)), j]
         assert (got_id == want_id).all()
         assert np.allclose(got_d, want_d, rtol=0, atol=1e-9)
+
+
+class TestGridNearestAntimeridianAndNaN:
+    """r5 review findings: the grid kernel had no east-west wraparound
+    (a cross-antimeridian candidate could be closer than the accepted
+    ring-local one) and a single NaN candidate poisoned every probe's
+    argmin. Both now fixed; these pin the exact repros plus a
+    world-spanning differential."""
+
+    @staticmethod
+    def _brute(plon, plat, idx):
+        d = np_haversine(plon[:, None], plat[:, None], idx["clon"][None, :], idx["clat"][None, :])
+        j = np.argmin(d, axis=1)
+        return idx["cid"][j], d[np.arange(len(plon)), j]
+
+    @staticmethod
+    def _run(cands, plon, plat):
+        from util_gis_spark.operators.joins import _cand_grid_index, _grid_nearest_all
+
+        idx = _cand_grid_index(cands)
+        max_levels = max(int(np.ceil(np.log2(max(idx["dims"], 2)))), 1)
+        return idx, _grid_nearest_all(np.asarray(plon), np.asarray(plat), idx, max_levels)
+
+    def test_wraparound_candidate_beats_ring_local(self):
+        """The review's empirical repro: candidates spread across the
+        full longitude range with one just across the antimeridian from
+        the probe — the wrap candidate is the true nearest."""
+        rng = np.random.default_rng(7)
+        n = 10_000
+        clon = rng.uniform(-179.95, 179.95, n)
+        clat = rng.uniform(-5, 5, n)
+        clon[0], clat[0] = -179.9, 0.0
+        cands = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(clon, clat))]
+        idx, (got_id, got_d) = self._run(cands, [179.9], [0.0])
+        want_id, want_d = self._brute(np.array([179.9]), np.array([0.0]), idx)
+        assert got_id[0] == want_id[0]
+        assert abs(got_d[0] - want_d[0]) < 1e-9
+
+    def test_dateline_cluster_uses_shifted_frame(self):
+        """A candidate set straddling the dateline (170..190) must grid
+        compactly (shift360) and answer probes from BOTH frames."""
+        from util_gis_spark.operators.joins import _cand_grid_index
+
+        rng = np.random.default_rng(11)
+        lon = np.mod(170.0 + rng.uniform(0, 20, 400), 360.0)
+        lon = np.where(lon >= 180.0, lon - 360.0, lon)  # [-180,180) frame
+        lat = rng.uniform(-3, 3, 400)
+        cands = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(lon, lat))]
+        idx = _cand_grid_index(cands)
+        assert idx["shift360"] and idx["span_x"] < 30.0
+        plon = np.array([-179.9, 179.9, 171.0, -171.0, 0.0])
+        plat = np.array([0.0, 0.5, -1.0, 1.0, 0.0])
+        _, (got_id, got_d) = self._run(cands, plon, plat)
+        want_id, want_d = self._brute(plon, plat, idx)
+        assert (got_id == want_id).all()
+        assert np.allclose(got_d, want_d, rtol=0, atol=1e-9)
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def test_world_spanning_cloud_equals_brute_force(self, seed):
+        rng = np.random.default_rng(seed)
+        n_cand = int(rng.integers(2, 200))
+        clon = rng.uniform(-180, 180, n_cand)
+        clat = rng.uniform(-60, 60, n_cand)
+        cands = [(int(i * 3 + 1), float(x), float(y)) for i, (x, y) in enumerate(zip(clon, clat))]
+        plon = rng.uniform(-180, 180, 25)
+        plat = rng.uniform(-60, 60, 25)
+        idx, (got_id, got_d) = self._run(cands, plon, plat)
+        want_id, want_d = self._brute(plon, plat, idx)
+        assert (got_id == want_id).all()
+        assert np.allclose(got_d, want_d, rtol=0, atol=1e-9)
+
+    def test_nan_candidates_dropped_not_poisoning(self):
+        """The review's second repro: a NaN-coordinate candidate must be
+        dropped at ingestion, not returned as everyone's nearest."""
+        cands = [(10, 0.0, 0.0), (11, 1.0, 1.0), (12, float("nan"), 2.0)]
+        idx, (got_id, got_d) = self._run(cands, [0.01], [0.01])
+        assert list(idx["cid"]) == [10, 11]
+        assert got_id[0] == 10 and np.isfinite(got_d[0])
+
+    def test_all_nan_candidates_raise(self):
+        from util_gis_spark.operators.joins import _cand_grid_index
+
+        with pytest.raises(ValueError):
+            _cand_grid_index([(1, float("nan"), 0.0)])
 
 
 class TestTimeWindowsSqlTwinProperty:

@@ -36,14 +36,31 @@ def _nx(res: int) -> int:
     return 1 << res
 
 
-def cell_expr(lon: Column, lat: Column, res: int) -> Column:
-    """Cell id as a pure Column expression (no UDF)."""
+def lon_ix_expr(lon: Column, res: int) -> Column:
+    """Clamped east-west cell index as a Column — the ONE definition of
+    the clamp; the kNN ladder and tile cover must use this, not a
+    hand-copied variant (r5 review: four inline copies had grown in
+    joins.py against this module's anti-drift contract)."""
     n = float(_nx(res))
     ix = F.least(F.floor((lon + 180.0) / 360.0 * n), F.lit(n - 1)).cast("long")
-    ix = F.greatest(ix, F.lit(0).cast("long"))
+    return F.greatest(ix, F.lit(0).cast("long"))
+
+
+def lat_iy_expr(lat: Column, res: int) -> Column:
+    """Clamped north-south cell index as a Column."""
+    n = float(_nx(res))
     iy = F.least(F.floor((lat + 90.0) / 180.0 * n), F.lit(n - 1)).cast("long")
-    iy = F.greatest(iy, F.lit(0).cast("long"))
-    return (F.lit(res).cast("long") * F.lit(RES_SHIFT) + ix * F.lit(IX_SHIFT) + iy).alias("cell")
+    return F.greatest(iy, F.lit(0).cast("long"))
+
+
+def pack_expr(res: int, ix: Column, iy: Column) -> Column:
+    """Pack (res, ix, iy) into the int64 cell/tile id (Column form)."""
+    return F.lit(res).cast("long") * F.lit(RES_SHIFT) + ix * F.lit(IX_SHIFT) + iy
+
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Cell id as a pure Column expression (no UDF)."""
+    return pack_expr(res, lon_ix_expr(lon, res), lat_iy_expr(lat, res)).alias("cell")
 
 
 def cell_sql(lon: str, lat: str, res: int) -> str:

@@ -57,6 +57,22 @@ def _collect_polygons(polygons_wkt_df: DataFrame) -> list[tuple]:
     return out
 
 
+def _check_reserved_cols(df: DataFrame, reserved: tuple, op: str) -> None:
+    """Fail loud instead of silently clobbering: the join flavors
+    attach internal/output columns with withColumn, which REPLACES an
+    existing column of the same name — a point table already carrying
+    e.g. its own 'cell' would come back with the internal join key in
+    that column (r5 review finding). carry_cols pruning runs first, so
+    callers can simply not carry the clashing column."""
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{op}: input column(s) {clash} collide with internal/output "
+            f"column names {list(reserved)} — rename them or leave them "
+            f"out of carry_cols"
+        )
+
+
 def pip_join_broadcast(
     points_df: DataFrame,
     polygons_wkt_df: DataFrame,
@@ -74,6 +90,7 @@ def pip_join_broadcast(
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
+    _check_reserved_cols(points_df, ("polygon_id",), "pip_join_broadcast")
     polys = _collect_polygons(polygons_wkt_df)
     schema = T.StructType(points_df.schema.fields + [T.StructField("polygon_id", T.LongType())])
 
@@ -146,6 +163,21 @@ def _edge_parts_from_parsed(parsed) -> list[list[tuple[float, float, float, floa
         if edges:
             parts.append(edges)
     return parts
+
+
+def _edge_count_from_parsed(parsed) -> int:
+    """Total refine-edge count WITHOUT materializing the per-edge tuple
+    lists — the pip_join planner only needs the count for its bytes
+    estimate (r5 review: it used to allocate ~2M tuples at 4k polygons
+    x 500 vertices just to multiply by 32)."""
+    n = 0
+    for rings in _polys_from_parsed(parsed):
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 2:
+                continue
+            n += len(r) - 1 if bool((r[0] == r[-1]).all()) else len(r)
+    return n
 
 
 EDGES_TYPE = T.ArrayType(  # array of parts, each an edge array
@@ -272,6 +304,9 @@ def pip_join_hybrid(
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
+    _check_reserved_cols(
+        points_df, ("cell", "_inside", "_edges", "polygon_id"), "pip_join_hybrid"
+    )
     spark = points_df.sparkSession
     polys = _collect_polygons(polygons_wkt_df)
 
@@ -464,6 +499,9 @@ def pip_join_cells(
     if carry_cols is not None:
         cols = list(dict.fromkeys(carry_cols + [lon_col, lat_col]))
         points_df = points_df.select(*cols)
+    _check_reserved_cols(
+        points_df, ("cell", "salt", "_inside", "_edges", "polygon_id"), "pip_join_cells"
+    )
     if attach_edges == "auto":
         sz = polygons_wkt_df.agg(F.sum(F.length("wkt"))).first()[0] or 0
         attach_edges = "broadcast" if int(sz) <= edges_broadcast_bytes else "inline"
@@ -554,8 +592,6 @@ def pick_res(
     boundary band at ~4/sqrt(128) ≈ 35% of covered cells (perimeter/
     area) while the map stays O(100) rows per polygon — measured sweet
     spot for both flavors; clamped to [lo, hi]."""
-    import math
-
     if not envs:
         return 14
     areas = sorted(max((x1 - x0), 1e-12) * max((y1 - y0), 1e-12) for x0, y0, x1, y1 in envs)
@@ -702,7 +738,7 @@ def pip_join(
         est_cells += max((x1 - x0) / cell_w, 1.0) * max((y1 - y0) / cell_h, 1.0)
     if est_cells > broadcast_threshold_cells:
         # the layer is already collected: size the edge payload from it
-        n_edges = sum(len(part) for _p, parsed, _e in polys for part in _edge_parts_from_parsed(parsed))
+        n_edges = sum(_edge_count_from_parsed(parsed) for _p, parsed, _e in polys)
         return _cells(res, "broadcast" if n_edges * 32 <= edges_cap else "inline")
     if kw.get("salt_buckets", 0):
         # salting exists to spread a hot shuffle key; the hybrid flavor
@@ -738,10 +774,6 @@ def _cand_arrays(candidates):
     arrays, so a 3-tuple of candidate rows parses as rows. Raises on
     an empty candidate set. Sort order matches the old tuple sort
     exactly: (id, lon, lat) lexicographic."""
-    import numpy as np
-
-    import pandas as pd
-
     is_triple = (
         isinstance(candidates, tuple)
         and len(candidates) == 3
@@ -758,9 +790,18 @@ def _cand_arrays(candidates):
         cid = np.array([c[0] for c in candidates], dtype=np.int64)
         clon = np.array([c[1] for c in candidates], dtype=np.float64)
         clat = np.array([c[2] for c in candidates], dtype=np.float64)
+    finite = np.isfinite(clon) & np.isfinite(clat)
+    if not finite.all():
+        # degrade, never corrupt: one NaN coordinate would poison every
+        # probe's argmin (np.argmin returns the NaN position) and, in
+        # the grid kernel, a NaN bbox extent degenerates the whole
+        # index — a coordinate-less candidate can never be a meaningful
+        # nearest, so it is dropped like the WGS84 filters drop it.
+        cid, clon, clat = cid[finite], clon[finite], clat[finite]
     if len(cid) == 0:
         raise ValueError(
-            "knn: empty candidate set (knn_join handles this case by "
+            "knn: empty candidate set after dropping non-finite "
+            "coordinates (knn_join handles the empty-input case by "
             "returning an empty result before the index is built)"
         )
     order = np.lexsort((clat, clon, cid))
@@ -772,15 +813,21 @@ def _cand_grid_index(candidates):
     candidates sorted by id, bucketed into a local ~1-per-cell grid
     over their bbox (CSR layout: order + offsets). The executor-side
     analogue of the reference's STRtree build (G:3184-3416)."""
-    import numpy as np
-
     cid, clon, clat = _cand_arrays(candidates)
     dims = max(int(np.sqrt(len(cid))), 1)
-    x0, x1 = float(clon.min()), float(clon.max())
+    # antimeridian-aware frame: grid in whichever of the [-180,180) /
+    # [0,360) frames gives the tighter longitude extent, so a candidate
+    # set straddling the dateline doesn't span the whole grid with a
+    # seam in the middle. Haversine itself is wrap-correct; only the
+    # grid indexing and the accept guard are frame-sensitive.
+    clon_s = np.mod(clon, 360.0)
+    shift360 = float(clon_s.max() - clon_s.min()) < float(clon.max() - clon.min()) - 1e-9
+    cx = clon_s if shift360 else clon
+    x0, x1 = float(cx.min()), float(cx.max())
     y0, y1 = float(clat.min()), float(clat.max())
     w = max((x1 - x0) / dims, 1e-9)
     h = max((y1 - y0) / dims, 1e-9)
-    gx = np.clip(((clon - x0) / w).astype(np.int64), 0, dims - 1)
+    gx = np.clip(((cx - x0) / w).astype(np.int64), 0, dims - 1)
     gy = np.clip(((clat - y0) / h).astype(np.int64), 0, dims - 1)
     flat = gx * dims + gy
     order = np.argsort(flat, kind="stable")
@@ -789,6 +836,7 @@ def _cand_grid_index(candidates):
         "cid": cid, "clon": clon, "clat": clat,
         "order": order.astype(np.int64), "starts": starts.astype(np.int64),
         "dims": dims, "x0": x0, "y0": y0, "w": w, "h": h,
+        "shift360": shift360, "span_x": x1 - x0,
     }
 
 
@@ -799,8 +847,6 @@ def _grid_nearest_batch(plon, plat, idx, level: int):
     when it provably beats anything outside the ring (same
     conservative worst-case-latitude guard as knn_join_cells).
     Returns (nearest_pos or -1, dist, accepted mask)."""
-    import numpy as np
-
     from ..geo.sphere import np_haversine
 
     dims0 = idx["dims"]
@@ -808,7 +854,16 @@ def _grid_nearest_batch(plon, plat, idx, level: int):
     dims = max(dims0 // scale, 1)
     w, h = idx["w"] * (dims0 / dims), idx["h"] * (dims0 / dims)
     npr = len(plon)
-    gx = np.floor((plon - idx["x0"]) / w).astype(np.int64)
+    # map each probe lon to its mod-360 copy nearest the grid center,
+    # so probes across the antimeridian from the candidate frame index
+    # the right cells. ONLY the frame coordinate (gx + guard) uses the
+    # remap: distances always use the original lon (haversine wraps
+    # correctly), and in-frame probes keep their exact value — the
+    # mod round-trip is not ulp-exact.
+    xc = idx["x0"] + idx.get("span_x", 0.0) / 2.0
+    shifted = xc + np.mod(plon - xc + 180.0, 360.0) - 180.0
+    plon_f = np.where(np.abs(plon - xc) <= 180.0, plon, shifted)
+    gx = np.floor((plon_f - idx["x0"]) / w).astype(np.int64)
     gy = np.floor((plat - idx["y0"]) / h).astype(np.int64)
 
     clon, clat, cid = idx["clon"], idx["clat"], idx["cid"]
@@ -818,7 +873,8 @@ def _grid_nearest_batch(plon, plat, idx, level: int):
     # (level 0 reuses the CSR prebuilt at index time)
     cache = idx.setdefault("_levels", {0: (idx["order"], idx["starts"])})
     if level not in cache:
-        cgx = np.clip(((clon - idx["x0"]) / w).astype(np.int64), 0, dims - 1)
+        cxf = np.mod(clon, 360.0) if idx.get("shift360") else clon
+        cgx = np.clip(((cxf - idx["x0"]) / w).astype(np.int64), 0, dims - 1)
         cgy = np.clip(((clat - idx["y0"]) / h).astype(np.int64), 0, dims - 1)
         cflat = cgx * dims + cgy
         corder = np.argsort(cflat, kind="stable")
@@ -862,7 +918,12 @@ def _grid_nearest_batch(plon, plat, idx, level: int):
     right = idx["x0"] + (gx + 2) * w
     bot = idx["y0"] + (gy - 1) * h
     top = idx["y0"] + (gy + 2) * h
-    dx_deg = np.minimum(plon - left, right - plon)
+    dx_deg = np.minimum(plon_f - left, right - plon_f)
+    # wrap bound: when the frame spans most of the circle, a candidate
+    # across the seam sits at angular gap >= 360 - span even though it
+    # is far outside the ring in frame coordinates; fold that into the
+    # lower bound (inactive for spans < ~180: the term is then huge)
+    dx_deg = np.minimum(dx_deg, 360.0 - idx.get("span_x", 0.0))
     dy_deg = np.minimum(plat - bot, top - plat)
     worst_lat = np.minimum(np.abs(plat) + np.abs(top - bot), 90.0)
     guard = 0.999 * np.minimum(
@@ -880,8 +941,6 @@ def _grid_nearest_all(plon, plat, idx, max_levels: int):
     identical output contract to knn_join_broadcast's argmin over
     cand_id-sorted candidates. Kept Spark-free so the property tests
     can differential-test it directly against brute force."""
-    import numpy as np
-
     from ..geo.sphere import np_haversine
 
     cid, clon, clat = idx["cid"], idx["clon"], idx["clat"]
@@ -939,8 +998,6 @@ def build_knn_index(
         b = knn_join_grid(probes_tuesday, idx)   # no rebuild
         idx.unpersist()
     """
-    import numpy as np
-
     cpdf = candidates_df.select(cand_id_col, lon_col, lat_col).toPandas()
     idx = _cand_grid_index(
         (
@@ -974,9 +1031,6 @@ def knn_join_grid(
     session that runs MANY joins against one candidate set then pays
     the collect + CSR build + task broadcast once instead of per
     call."""
-    import numpy as np
-    import pandas as pd
-
     if isinstance(candidates, KnnGridIndex):
         idx, bidx = candidates.idx, candidates.bidx
         spark = probes_df.sparkSession
@@ -1040,7 +1094,19 @@ def knn_join(
     sized to the task-broadcast budget, not to driver Python-object
     overhead, because ingestion is Arrow (toPandas -> numpy columns;
     never a per-row Python list). `max_broadcast_candidates` remains
-    as an explicit row override."""
+    as an explicit row override.
+
+    CONTRACT NOTE at the cap boundary: the broadcast flavors are exact
+    and total (every probe gets its true global nearest). Above the
+    cap, knn_join_cells is exact for every CONFIRMED level, but its
+    final level keeps the ring-local minimum — a probe whose true
+    nearest lies outside the final 3x3 ring (possible only when it is
+    >~ one final-level cell, hundreds of km at the default levels,
+    from every candidate) gets that ring's minimum, or a NULL
+    nearest_id when the final ring is empty. Callers needing the
+    exact-total contract above the cap should raise
+    max_broadcast_bytes (the grid kernel stays exact) or pre-filter
+    probes to the candidate region."""
     cap_rows = (
         max_broadcast_candidates
         if max_broadcast_candidates is not None
@@ -1099,22 +1165,15 @@ def knn_join_cells(
         r = max(res - 2 * level, 2)
         n = float(1 << r)
         last = level == levels - 1
-        ix = F.greatest(F.least(F.floor((F.col("plon") + 180.0) / 360.0 * n), F.lit(n - 1)), F.lit(0.0)).cast("long")
-        iy = F.greatest(F.least(F.floor((F.col("plat") + 90.0) / 180.0 * n), F.lit(n - 1)), F.lit(0.0)).cast("long")
         p = (
-            remaining.withColumn("_ix", ix)
-            .withColumn("_iy", iy)
+            remaining.withColumn("_ix", cells.lon_ix_expr(F.col("plon"), r))
+            .withColumn("_iy", cells.lat_iy_expr(F.col("plat"), r))
             .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
             .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
             .withColumn("_jy", F.col("_iy") + F.col("_dy"))
             .filter((F.col("_jy") >= 0) & (F.col("_jy") < F.lit(int(n))))
             .withColumn("_jx", F.pmod(F.col("_ix") + F.col("_dx"), F.lit(int(n))))
-            .withColumn(
-                "cell",
-                F.lit(r).cast("long") * F.lit(cells.RES_SHIFT)
-                + F.col("_jx") * F.lit(cells.IX_SHIFT)
-                + F.col("_jy"),
-            )
+            .withColumn("cell", cells.pack_expr(r, F.col("_jx"), F.col("_jy")))
             .select("probe_id", "plon", "plat", "cell")
         )
         c = cand_base.withColumn(
@@ -1168,19 +1227,16 @@ def knn_join_cells(
 
 def tile_cover_exprs(lon: str, lat: str, half_w_deg: str, half_h_deg: str, res: int):
     """Column expressions for the ix/iy ranges of a bbox cover — shared
-    by tile_assignment and its SQL oracle twin."""
-    n = float(1 << res)
-    nmax = int(n) - 1
-
-    def ix(e):
-        return F.greatest(F.least(F.floor((e + 180.0) / 360.0 * n), F.lit(float(nmax))), F.lit(0.0)).cast("long")
-
-    def iy(e):
-        return F.greatest(F.least(F.floor((e + 90.0) / 180.0 * n), F.lit(float(nmax))), F.lit(0.0)).cast("long")
-
+    by tile_assignment and its SQL oracle twin; the clamp is
+    cells.lon_ix_expr/lat_iy_expr, the one definition."""
     lo, la = F.col(lon), F.col(lat)
     hw, hh = F.expr(half_w_deg), F.expr(half_h_deg)
-    return ix(lo - hw), ix(lo + hw), iy(la - hh), iy(la + hh)
+    return (
+        cells.lon_ix_expr(lo - hw, res),
+        cells.lon_ix_expr(lo + hw, res),
+        cells.lat_iy_expr(la - hh, res),
+        cells.lat_iy_expr(la + hh, res),
+    )
 
 
 def tile_assignment(
@@ -1192,14 +1248,12 @@ def tile_assignment(
     w*1e-6 x h*1e-6 degrees around its lon/lat — deterministic
     pixel->ground rule) maps to its covering tile set at `res`.
     Pure Column arithmetic: sequence + explode, no UDF, no shuffle."""
+    _check_reserved_cols(images_df, ("_ix", "_iy", "tile"), "tile_assignment")
     ix0, ix1, iy0, iy1 = tile_cover_exprs("lon", "lat", "w * 1e-6", "h * 1e-6", res)
     return (
         images_df.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
         .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
-        .withColumn(
-            "tile",
-            F.lit(res).cast("long") * F.lit(cells.RES_SHIFT) + F.col("_ix") * F.lit(cells.IX_SHIFT) + F.col("_iy"),
-        )
+        .withColumn("tile", cells.pack_expr(res, F.col("_ix"), F.col("_iy")))
         .drop("_ix", "_iy")
     )
 
