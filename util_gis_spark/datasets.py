@@ -78,17 +78,18 @@ FROM events
 # `bytes` is a deterministic pseudo-image (see images_with_bytes) and is
 # excluded from oracle-compared projections.
 
-def images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    k = F.col("doc_id")
+def _image_cols(k, caption):
+    """The ONE definition of the image-view column rule from a key
+    expression `k` (r5 review: images/images_scaled carried verbatim
+    copies that could drift; IMAGES_SQL is the pinned SQL twin)."""
     hot = (k % 10) < 3
-    return d.select(
+    return [
         k.alias("image_key"),
         k.cast("string").alias("image_id"),
         (64 + (k % 960)).cast("int").alias("w"),
         (64 + ((k * 31) % 960)).cast("int").alias("h"),
         F.when(k % 3 == 0, "png").when(k % 3 == 1, "jpg").otherwise("webp").alias("fmt"),
-        F.col("text").alias("caption"),
+        caption.alias("caption"),
         ((k * 2654435761) % 281474976710656).alias("phash"),
         F.when(hot, 116.20 + ((k * 7919) % 1000) / 100000.0)
         .otherwise(116.0 + ((k * 48271) % 40000) / 100000.0)
@@ -96,7 +97,12 @@ def images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hot, 39.70 + ((k * 104729) % 1000) / 100000.0)
         .otherwise(39.5 + ((k * 69621) % 40000) / 100000.0)
         .alias("lat"),
-    )
+    ]
+
+
+def images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(*_image_cols(F.col("doc_id"), F.col("text")))
 
 
 IMAGES_SQL = """
@@ -127,22 +133,7 @@ def images_scaled(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
     k = (F.col("doc_id") * factor + F.col("rep")).cast("long")
-    hot = (k % 10) < 3
-    return d.select(
-        k.alias("image_key"),
-        k.cast("string").alias("image_id"),
-        (64 + (k % 960)).cast("int").alias("w"),
-        (64 + ((k * 31) % 960)).cast("int").alias("h"),
-        F.when(k % 3 == 0, "png").when(k % 3 == 1, "jpg").otherwise("webp").alias("fmt"),
-        F.col("text").alias("caption"),
-        ((k * 2654435761) % 281474976710656).alias("phash"),
-        F.when(hot, 116.20 + ((k * 7919) % 1000) / 100000.0)
-        .otherwise(116.0 + ((k * 48271) % 40000) / 100000.0)
-        .alias("lon"),
-        F.when(hot, 39.70 + ((k * 104729) % 1000) / 100000.0)
-        .otherwise(39.5 + ((k * 69621) % 40000) / 100000.0)
-        .alias("lat"),
-    )
+    return d.select(*_image_cols(k, F.col("text")))
 
 
 def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,49 +141,30 @@ def field_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     input shape): per device a serpentine 'lawnmower' field pattern at
     1 Hz / 3 m steps, rows 3 m apart — deterministic from `events`.
     Feeds the plot-construction composites (getFarmPlot/splitRoad),
-    which need coherent machinery tracks, not scattered points."""
-    from pyspark.sql import Window as W
-
-    e = load(spark, sf_dir, "events")
-    # materialize device_id BEFORE the window and partition the window
-    # on the attribute (not the raw expression) so downstream
-    # device_id-keyed operators see a matching partitioning. (The plot
-    # composites now route through grouped_apply, whose explicit pinned
-    # repartition re-shuffles regardless — measured ~free at this row
-    # count — so this buys exchange elision only for plain
-    # groupBy/window consumers.)
-    pre = e.select(
-        (F.col("user_id") % 10).alias("device_id"),
-        F.col("event_id").alias("point_id"),
-        "ts",
-    )
-    w = W.partitionBy("device_id").orderBy("ts", "point_id")
-    seq = (F.row_number().over(w) - 1).alias("seq")
-    base = pre.select("device_id", "point_id", seq)
-    row = F.floor(F.col("seq") / 34)
-    col = F.col("seq") % 34
-    col_serp = F.when(row % 2 == 1, 33 - col).otherwise(col)
-    x_m = col_serp * 3.0 + (F.col("device_id") % 5) * 600.0
-    y_m = row * 3.0 + F.floor(F.col("device_id") / 5) * 600.0
-    return base.select(
-        "device_id",
-        "point_id",
-        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,seq)").alias("ts"),
-        (116.0 + x_m / 85690.0).alias("lon"),
-        (39.5 + y_m / 111195.0).alias("lat"),
-    )
+    which need coherent machinery tracks, not scattered points.
+    Exactly field_trajectories_many at the oracle-pinned 10-device /
+    5-column layout — ONE definition of the serpentine rule (r5
+    review: the body used to be duplicated and could drift)."""
+    return field_trajectories_many(spark, sf_dir, n_devices=10, grid_cols=5)
 
 
 def field_trajectories_many(
     spark: SparkSession, sf_dir: str, n_devices: int = 320, grid_cols: int = 32
 ) -> DataFrame:
-    """field_trajectories at realistic GROUP CARDINALITY: same
-    serpentine rule but user_id spread over `n_devices` machines on a
+    """field_trajectories at configurable GROUP CARDINALITY: the
+    serpentine rule with user_id spread over `n_devices` machines on a
     `grid_cols`-wide field grid. The 10-device default above is pinned
-    by oracles; this bench-only variant exists to show the grouped-map
-    composites (split_road / get_farm_plot) parallelize with device
-    count — at warehouse scale there are millions of devices, and the
-    per-device kernel is the unit of parallelism."""
+    by oracles; larger counts exist to show the grouped-map composites
+    (split_road / get_farm_plot) parallelize with device count — at
+    warehouse scale there are millions of devices, and the per-device
+    kernel is the unit of parallelism.
+
+    device_id materializes BEFORE the window and the window partitions
+    on the attribute (not the raw expression) so downstream
+    device_id-keyed operators see a matching partitioning; the plot
+    composites route through grouped_apply's pinned repartition
+    regardless, so this buys exchange elision only for plain
+    groupBy/window consumers."""
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "events")

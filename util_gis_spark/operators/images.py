@@ -53,7 +53,10 @@ def decode_stats(images_df: DataFrame, max_pixels: int = 64 * 64) -> DataFrame:
     """Decode (stub) + per-image pixel stats — the feature-extraction
     plumbing: binary column -> Arrow batch -> numpy -> stats columns.
     Downsamples to max_pixels to bound batch memory (the real-decoder
-    analogue of thumbnail extraction)."""
+    analogue of thumbnail extraction): each side caps at
+    sqrt(max_pixels) — the default 64*64 keeps the pinned 64-px cap
+    (r5 review: the knob used to be ignored, hardcoded to 64)."""
+    side = max(int(np.sqrt(max_pixels)), 1)
     out_schema = T.StructType(
         [
             T.StructField("image_id", T.StringType()),
@@ -67,8 +70,8 @@ def decode_stats(images_df: DataFrame, max_pixels: int = 64 * 64) -> DataFrame:
         for pdf in batches:
             ids, means, stds, npx = [], [], [], []
             for _, row in pdf.iterrows():
-                w = min(int(row["w"]), 64)
-                h = min(int(row["h"]), 64)
+                w = min(int(row["w"]), side)
+                h = min(int(row["h"]), side)
                 px = _decode_stub(bytes(row["bytes"]), w, h)
                 lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
                 ids.append(row["image_id"])
@@ -234,16 +237,21 @@ def phash_hamming_dups(images_df: DataFrame, max_hamming: int = 4) -> DataFrame:
     hash BANDS (4 x 12-bit bands; two hashes within hamming distance
     <= 4 share a band with high probability when distance is small),
     then exact popcount verify — the image analogue of MinHash-LSH.
-    All JVM-side bit arithmetic."""
-    bands = None
-    for b in range(4):
-        part = images_df.select(
-            F.col("image_key").alias("k"),
-            F.col("phash"),
-            F.lit(b).alias("band"),
-            ((F.col("phash") / (1 << (12 * b))).cast("long") % 4096).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    All JVM-side bit arithmetic. Bands come from ONE explode (the repo
+    convention — r5 review: the old 4-way unionByName re-evaluated the
+    source scan per branch AND per self-join side, 8 scans total)."""
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                ((F.col("phash") / (1 << (12 * b))).cast("long") % 4096).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = images_df.select(
+        F.col("image_key").alias("k"), "phash", F.explode(band_arr).alias("_b")
+    ).select("k", "phash", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     left = bands.select(F.col("k").alias("a"), F.col("phash").alias("pa"), "band", "bh")
     right = bands.select(F.col("k").alias("b"), F.col("phash").alias("pb"), "band", "bh")
     cand = (

@@ -477,14 +477,14 @@ def _held_field_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HELD_SQL = """
 SELECT device_id, point_id, ts,
-       CASE WHEN epoch(ts)::BIGINT % 1000 < 150 THEN flon - 0.0007 ELSE lon END AS lon,
-       CASE WHEN epoch(ts)::BIGINT % 1000 < 150 THEN flat ELSE lat END AS lat
+       CASE WHEN (epoch_us(ts)//1000000) % 1000 < 150 THEN flon - 0.0007 ELSE lon END AS lon,
+       CASE WHEN (epoch_us(ts)//1000000) % 1000 < 150 THEN flat ELSE lat END AS lat
 FROM (
   SELECT *,
          first_value(lon) OVER w AS flon,
          first_value(lat) OVER w AS flat
   FROM ({src}) WINDOW w AS (
-    PARTITION BY device_id, epoch(ts)::BIGINT // 1000 ORDER BY ts, point_id
+    PARTITION BY device_id, (epoch_us(ts)//1000000) // 1000 ORDER BY ts, point_id
   )
 )
 """
@@ -512,14 +512,24 @@ def q_images_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship coarse+refine PIP join (cell equi-join flavor):
     every (image, containing polygon) pair."""
     res = joins.pip_join_cells(
-        D.images(spark, sf_dir), D.polygons_wkt(spark, sf_dir), res=_PIP_RES
+        D.images(spark, sf_dir),
+        D.polygons_wkt(spark, sf_dir),
+        res=_PIP_RES,
+        # prune the wide caption payload out of the cell-join shuffle —
+        # only the id survives the final projection
+        carry_cols=["image_key"],
     )
     return res.select("image_key", "polygon_id")
 
 
 def q_images_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join (broadcast flavor) aggregated per polygon."""
-    res = joins.pip_join_broadcast(D.images(spark, sf_dir), D.polygons_wkt(spark, sf_dir))
+    res = joins.pip_join_broadcast(
+        D.images(spark, sf_dir),
+        D.polygons_wkt(spark, sf_dir),
+        # captions must not enter the Arrow kernel; fmt feeds the agg
+        carry_cols=["image_key", "fmt"],
+    )
     return res.groupBy("polygon_id").agg(
         F.count("*").alias("n_images"),
         F.countDistinct("fmt").alias("n_fmts"),
@@ -617,9 +627,12 @@ def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring (length/punct/stopword ratios)."""
-    d = D.load(spark, sf_dir, "documents")
+def _doc_quality_cols():
+    """The ONE definition of the token/stopword/punctuation quality
+    rule, shared by q_docs_token_stats and q_docs_clean_corpus (r5
+    review: the expressions had been copy-pasted between them — and
+    between their SQL twins, which now share _TOKS_SQL/_QUALITY_SQL
+    the same way). Returns (toks, stop, n_tokens, punct_n, quality)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
     stop = F.filter(
         toks, lambda x: x.isin("the", "a", "and", "of", "to", "in", "is", "it")
@@ -632,6 +645,24 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1.0 - F.size(stop) / F.greatest(n_tokens, F.lit(1))),
         4,
     )
+    return toks, stop, n_tokens, punct_n, quality
+
+
+#: DuckDB twins of _doc_quality_cols (toks subquery column + quality expr)
+_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
+_QUALITY_SQL = (
+    "round(least(1.0, len(toks) / 50.0)"
+    " * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    " / greatest(length(text), 1))"
+    " * (1.0 - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it')))"
+    " / greatest(len(toks), 1)), 4)"
+)
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword ratios)."""
+    d = D.load(spark, sf_dir, "documents")
+    toks, stop, n_tokens, punct_n, quality = _doc_quality_cols()
     bpe_ish = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
     return d.select(
         "doc_id",
@@ -737,16 +768,7 @@ def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_near_dup_pairs
 
     d = D.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
-    stop = F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in", "is", "it"))
-    n_tokens = F.size(toks)
-    punct_n = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
-    quality = F.round(
-        F.least(F.lit(1.0), n_tokens / 50.0)
-        * (1.0 - punct_n / F.greatest(F.length("text"), F.lit(1)))
-        * (1.0 - F.size(stop) / F.greatest(n_tokens, F.lit(1))),
-        4,
-    )
+    _toks, _stop, n_tokens, _punct_n, quality = _doc_quality_cols()
     scored = d.select(
         "doc_id", "text", n_tokens.cast("long").alias("n_tokens"), quality.alias("quality")
     ).filter(F.col("quality") >= 0.3)
@@ -815,10 +837,17 @@ def q_embed_topk(spark: SparkSession, sf_dir: str, max_probes: int = 10_000) -> 
             cos = pm_n @ cm_n.T  # (P, B)
             P, B = cos.shape
             k = min(5 + 1, B)
-            idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+            # batch cut: keep everything within one rounding quantum
+            # (1e-5) of the k-th best UNROUNDED value — the global rank
+            # ties on the ROUNDED value with neighbor_id ascending, so
+            # a candidate rounding-tied with the boundary must reach
+            # the window even if it sits just below the unrounded top-k
+            # (r5 review: a plain top-k cut could drop the smaller-id
+            # side of such a tie while the oracle keeps it)
+            kth = -np.partition(-cos, k - 1, axis=1)[:, k - 1]
             rows_p, rows_c, rows_s = [], [], []
             for i in range(P):
-                for j in idx[i]:
+                for j in np.flatnonzero(cos[i] >= kth[i] - 1e-5):
                     if cid[j] != pid[i]:
                         rows_p.append(pid[i])
                         rows_c.append(cid[j])
@@ -1074,20 +1103,15 @@ GROUP BY p.polygon_id
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"
         ),
-        "docs_token_stats": r"""
+        "docs_token_stats": rf"""
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_n,
        len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_n,
-       round(
-         least(1.0, len(toks) / 50.0)
-         * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1))
-         * (1.0 - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) / greatest(len(toks), 1)),
-         4) AS quality
+       {_QUALITY_SQL} AS quality
 FROM (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+  SELECT doc_id, text, {_TOKS_SQL} AS toks
   FROM documents
 )
 """,
@@ -1285,15 +1309,12 @@ GROUP BY t.device_id
 """,
         "docs_minhash_pairs": dedup.minhash_near_dup_pairs_sql(0.5),
         "docs_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(0.6),
-        "docs_clean_corpus": r"""
+        "docs_clean_corpus": rf"""
 WITH scored AS (
   SELECT * FROM (
     SELECT doc_id, text, len(toks) AS n_tokens,
-           round(least(1.0, len(toks)/50.0)
-                 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1))
-                 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) / greatest(len(toks), 1)),
-                 4) AS quality
-    FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+           {_QUALITY_SQL} AS quality
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks
           FROM documents)
   ) WHERE quality >= 0.3
 ), exact AS (
