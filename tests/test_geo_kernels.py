@@ -336,3 +336,73 @@ class TestR4GeoReviewRegressions:
         out = M.exterior_closing(M.Raster(mask, 0.0, 0.0, 0.25), 1.5)
         assert out.mask[1, 13]  # sealed
         assert out.mask.shape == mask.shape  # frame preserved
+
+
+class TestR5NumericCoreHardening:
+    """r5 review of the numeric core: every fix pinned by its repro."""
+
+    def test_haversine_antipodal_no_error_all_twins(self):
+        import duckdb
+
+        from util_gis_spark.geo.sphere import haversine_sql, np_haversine
+
+        args = (0.0, -88.37837837837837, 180.0, 88.37837837837837)
+        d_np = float(np_haversine(*args))
+        assert np.isfinite(d_np) and d_np > 2.0e7  # ~pi*R, not NaN
+        sql = haversine_sql(*(repr(v) for v in args))
+        d_sql = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
+        assert abs(d_sql - d_np) < 1e-6  # and no Out of Range error
+
+    def test_gauss_pole_finite_and_twins_agree(self):
+        import duckdb
+
+        x, y, _ = gauss.gauss_forward(np.array([117.0]), np.array([90.0]), zone=50)
+        assert np.isfinite(x[0]) and np.isfinite(y[0])
+        sql = gauss.gauss_forward_sql("SELECT 117.0 AS lon, 90.0 AS lat, 50 AS zone")
+        r = duckdb.connect().execute(sql).df()
+        assert abs(float(r["x"][0]) - x[0]) < 1e-6
+        assert abs(float(r["y"][0]) - y[0]) < 1e-6
+
+    def test_mu_twins_agree_at_rounding_tie(self):
+        import duckdb
+
+        from util_gis_spark.geo.sphere import calc_mu, mu_sql
+
+        area = 0.36666666666666664  # x*1e4 lands exactly on .5
+        got = duckdb.connect().execute(f"SELECT {mu_sql(repr(area))}").fetchone()[0]
+        assert got == calc_mu(area) == 0.0005
+
+    def test_segment_cells_out_of_range_is_conservative(self):
+        # clamped-path cells must be a subset of what we now return
+        full = cells.segment_cells(170.0, 85.0, 200.0, 95.0, 8)
+        clamped = cells.segment_cells(170.0, 85.0, 180.0, 90.0, 8)
+        assert clamped <= full
+
+    def test_segment_cells_nan_degrades_empty(self):
+        assert cells.segment_cells(float("nan"), 0.0, 1.0, 1.0, 8) == set()
+
+    def test_cover_bbox_antimeridian_wraps(self):
+        cov = cells.cover_bbox(179.0, 0.0, -179.0, 1.0, 8)
+        assert len(cov) > 0
+        _, ixs, _ = cells.np_decode(cov)
+        n = 1 << 8
+        assert 0 in ixs and (n - 1) in ixs  # both sides of the seam
+
+    def test_null_and_nan_cells_join_nothing(self):
+        import duckdb
+
+        assert int(cells.np_cell([float("nan")], [39.5], 14)[0]) == -1
+        got = duckdb.connect().execute(
+            f"SELECT {cells.cell_sql('NULL::DOUBLE', '39.5', 14)}"
+        ).fetchone()[0]
+        assert got is None
+
+    def test_cell_expr_null_guard_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 116.0, 39.5), (2, None, 39.5), (3, float("nan"), 39.5)],
+            "id long, lon double, lat double",
+        ).select("id", cells.cell_expr(F.col("lon"), F.col("lat"), 14))
+        rows = {r["id"]: r["cell"] for r in df.collect()}
+        assert rows[1] is not None and rows[2] is None and rows[3] is None

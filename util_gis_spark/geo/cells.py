@@ -59,23 +59,38 @@ def pack_expr(res: int, ix: Column, iy: Column) -> Column:
 
 
 def cell_expr(lon: Column, lat: Column, res: int) -> Column:
-    """Cell id as a pure Column expression (no UDF)."""
-    return pack_expr(res, lon_ix_expr(lon, res), lat_iy_expr(lat, res)).alias("cell")
+    """Cell id as a pure Column expression (no UDF). NULL/NaN
+    coordinates yield a NULL cell (joins nothing) — least/greatest are
+    null-SKIPPING in both engines, so without the guard a dirty row
+    collapsed onto the valid corner cell (r5 review: spurious join
+    candidates + skew on one corner cell)."""
+    dirty = lon.isNull() | lat.isNull() | F.isnan(lon) | F.isnan(lat)
+    packed = pack_expr(res, lon_ix_expr(lon, res), lat_iy_expr(lat, res))
+    return F.when(dirty, F.lit(None).cast("long")).otherwise(packed).alias("cell")
 
 
 def cell_sql(lon: str, lat: str, res: int) -> str:
-    """Identical formula as ANSI SQL (DuckDB oracle)."""
+    """Identical formula as ANSI SQL (DuckDB oracle), incl. the
+    NULL/NaN guard."""
     n = float(_nx(res))
     ix = f"greatest(least(cast(floor((({lon})+180.0)/360.0*{n}) as bigint), {int(n) - 1}), 0)"
     iy = f"greatest(least(cast(floor((({lat})+90.0)/180.0*{n}) as bigint), {int(n) - 1}), 0)"
-    return f"(cast({res} as bigint)*{RES_SHIFT} + {ix}*{IX_SHIFT} + {iy})"
+    return (
+        f"(CASE WHEN ({lon}) IS NULL OR ({lat}) IS NULL OR isnan({lon}) OR isnan({lat})"
+        f" THEN NULL ELSE cast({res} as bigint)*{RES_SHIFT} + {ix}*{IX_SHIFT} + {iy} END)"
+    )
 
 
 def np_cell(lon, lat, res: int) -> np.ndarray:
+    """numpy twin; non-finite coordinates yield -1 (no valid cell id is
+    negative, so like the Column form's NULL they join nothing)."""
     n = _nx(res)
-    ix = np.clip(np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-    iy = np.clip(np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-    return np.int64(res) * RES_SHIFT + ix * IX_SHIFT + iy
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    bad = ~(np.isfinite(lon) & np.isfinite(lat))
+    ix = np.clip(np.floor(np.where(bad, 0.0, (lon + 180.0) / 360.0 * n)), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor(np.where(bad, 0.0, (lat + 90.0) / 180.0 * n)), 0, n - 1).astype(np.int64)
+    return np.where(bad, np.int64(-1), np.int64(res) * RES_SHIFT + ix * IX_SHIFT + iy)
 
 
 def np_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -117,7 +132,29 @@ def neighbors(cell: int, ring: int = 1) -> np.ndarray:
 
 def segment_cells(lon0: float, lat0: float, lon1: float, lat1: float, res: int) -> set[int]:
     """All cells a segment passes through (grid supercover, DDA walk).
-    Used to classify boundary cells for the hybrid PIP join."""
+    Used to classify boundary cells for the hybrid PIP join.
+
+    Degenerate input handling (r5 review): NaN/Inf endpoints degrade
+    to the empty set (the ring is garbage — same contract as
+    parse_wkt's degrade-to-EMPTY); endpoints outside the lon/lat
+    domain return the segment's full clamped bbox cover instead of
+    walking the DDA toward an unreachable clamped target (which
+    exhausted the guard and silently DROPPED in-range cells — a
+    boundary cell missing from the classification can flip a cell to
+    fully-inside and wrongly accept points with no exact test; the
+    bbox cover is a conservative superset, those cells just refine)."""
+    if not all(map(np.isfinite, (lon0, lat0, lon1, lat1))):
+        return set()
+    if not (
+        -180.0 <= lon0 <= 180.0 and -90.0 <= lat0 <= 90.0
+        and -180.0 <= lon1 <= 180.0 and -90.0 <= lat1 <= 90.0
+    ):
+        return set(
+            int(c)
+            for c in cover_bbox(
+                min(lon0, lon1), min(lat0, lat1), max(lon0, lon1), max(lat0, lat1), res
+            )
+        )
     n = _nx(res)
     fx0, fy0 = (lon0 + 180.0) / 360.0 * n, (lat0 + 90.0) / 180.0 * n
     fx1, fy1 = (lon1 + 180.0) / 360.0 * n, (lat1 + 90.0) / 180.0 * n
@@ -161,11 +198,21 @@ def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float, r
     primitive: a polygon's covering cell set is cover_bbox of its
     envelope (coarse) refined by exact intersection where needed."""
     n = _nx(res)
+    if not all(map(np.isfinite, (lon_min, lat_min, lon_max, lat_max))):
+        return np.empty(0, dtype=np.int64)
     ix0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
     ix1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * n), 0, n - 1))
     iy0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * n), 0, n - 1))
     iy1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * n), 0, n - 1))
-    ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    if lon_min > lon_max:
+        # antimeridian-crossing bbox: two east-west ranges (r5 review:
+        # arange(ix0, ix1+1) was silently EMPTY, excluding every point
+        # of a dateline-straddling polygon from the join)
+        ixs = np.concatenate(
+            [np.arange(ix0, n, dtype=np.int64), np.arange(0, ix1 + 1, dtype=np.int64)]
+        )
+    else:
+        ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
     iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(ixs, iys, indexing="ij")
     return (np.int64(res) * RES_SHIFT + gx.ravel() * IX_SHIFT + gy.ravel()).astype(np.int64)

@@ -64,9 +64,22 @@ def false_easting(zone) -> np.ndarray:
 
 
 def zone_from_x(x) -> np.ndarray:
-    """Zone from the X coordinate's millions digit (G:11977-12009)."""
+    """Zone from the X coordinate's millions digit (G:11977-12009).
+
+    VALIDITY: the millions digit identifies the zone only while
+    |x - false_easting| < 5e5, i.e. the point lies within ~4.5 deg of
+    the zone's central meridian — true for per-point zone projections,
+    NOT guaranteed for UNIFIED-zone batches (a trajectory projected in
+    the batch center's zone can put far-edge points past the headroom,
+    and inference then lands one zone over, skewing longitudes by up
+    to ~6 deg on inversion). Callers holding unified-zone coordinates
+    must pass zone= to gauss_inverse explicitly (every in-repo caller
+    does; r5 review)."""
     z = np.floor(np.asarray(x, dtype=np.float64) / 1e6).astype(np.int64)
     return np.clip(z, 1, 60)
+
+
+_SPHI_MAX = 1.0 - 1e-15  # pole clamp, shared with the SQL twin
 
 
 def gauss_forward(lon, lat, zone=None):
@@ -87,7 +100,13 @@ def gauss_forward(lon, lat, zone=None):
     phi = np.radians(lat)
     dlam = np.radians(lon - lon0)
 
-    sphi = np.sin(phi)
+    # clamp |sin(phi)| below 1 so the exact poles stay finite: at
+    # sphi = +-1 arctanh diverges — numpy rode the inf through to the
+    # correct pole northing but the SQL twin's ln((1+s)/(1-s)) hit
+    # DuckDB's 2.0/0.0 = NULL and silently nulled x/y (r5 review).
+    # Identical clamp in both kernels; it only bites within ~6e-8 deg
+    # of a pole and moves the result sub-micron.
+    sphi = np.clip(np.sin(phi), -_SPHI_MAX, _SPHI_MAX)
     t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
     xi_p = np.arctan2(t, np.cos(dlam))
     eta_p = np.arcsinh(np.sin(dlam) / np.hypot(t, np.cos(dlam)))
@@ -167,7 +186,7 @@ FROM (
         SELECT *, 0.5*ln((1+sphi)/(1-sphi)) - {e}*0.5*ln((1+{e}*sphi)/(1-{e}*sphi)) AS u
         FROM (
           SELECT *, radians({lon} - (({zone}-1)*6.0 - 180.0 + 3.0)) AS dlam,
-                 sin(radians({lat})) AS sphi
+                 least(greatest(sin(radians({lat})), -{repr(_SPHI_MAX)}), {repr(_SPHI_MAX)}) AS sphi
           FROM ({src})
         )
       )

@@ -32,7 +32,12 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     dlat = F.radians(lat2 - lat1)
     dlon = F.radians(lon2 - lon1)
     a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
-    return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+    # near-antipodal rounding can push a past 1.0: clamp 1-a at 0 so the
+    # result is ~pi*R instead of NaN (numpy twin) / a query-killing
+    # sqrt-of-negative error (DuckDB twin) — identical clamp in all three
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(
+        F.sqrt(a), F.sqrt(F.greatest(F.lit(1.0) - a, F.lit(0.0)))
+    )
 
 
 def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
@@ -42,9 +47,9 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f"sqrt(pow(sin(radians(({lat2})-({lat1}))/2),2)"
         f" + cos(radians({lat1}))*cos(radians({lat2}))"
         f"*pow(sin(radians(({lon2})-({lon1}))/2),2)),"
-        f"sqrt(1 - (pow(sin(radians(({lat2})-({lat1}))/2),2)"
+        f"sqrt(greatest(1 - (pow(sin(radians(({lat2})-({lat1}))/2),2)"
         f" + cos(radians({lat1}))*cos(radians({lat2}))"
-        f"*pow(sin(radians(({lon2})-({lon1}))/2),2))))"
+        f"*pow(sin(radians(({lon2})-({lon1}))/2),2)), 0.0)))"
     )
 
 
@@ -96,7 +101,7 @@ def np_haversine(lon1, lat1, lon2, lat2):
     dlat = np.radians(lat2 - lat1)
     dlon = np.radians(lon2 - lon1)
     a = np.sin(dlat / 2) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
-    return 2.0 * EARTH_RADIUS_M * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+    return 2.0 * EARTH_RADIUS_M * np.arctan2(np.sqrt(a), np.sqrt(np.maximum(1 - a, 0.0)))
 
 
 def np_heading(lon1, lat1, lon2, lat2):
@@ -139,9 +144,12 @@ def calc_mu(area_m2) -> float:
 
 
 def mu_expr(area_m2: Column) -> Column:
-    """Column form of calc_mu (floor(x*1e4+0.5)/1e4 = Java Math.round)."""
-    return F.floor(area_m2 * F.lit(MU_PER_M2 * 1e4) + F.lit(0.5)) / F.lit(1e4)
+    """Column form of calc_mu — the SAME two-step rounding
+    ((area*MU_PER_M2)*1e4, not area*15.0 folded once): the folded
+    constant changes the float at rounding-tie areas, diverging from
+    calc_mu by 1e-4 (r5 review, reproduced at area=0.36666666666666664)."""
+    return F.floor((area_m2 * F.lit(MU_PER_M2)) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
 
 
 def mu_sql(area_m2: str) -> str:
-    return f"(floor(({area_m2}) * {MU_PER_M2 * 1e4!r} + 0.5) / 10000.0)"
+    return f"(floor((({area_m2}) * {MU_PER_M2!r}) * 10000.0 + 0.5) / 10000.0)"
