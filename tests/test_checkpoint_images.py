@@ -58,6 +58,28 @@ class TestCheckpoint:
         pipe2.stage("s", lambda: D.images(spark, sf_dir).select("image_key").filter("image_key % 2 = 0"))
         assert not pipe2.results["s"].resumed  # fingerprint changed -> recomputed
 
+    def test_regenerated_source_invalidates(self, spark, tmp_path):
+        """r5 review: a ROOT stage's raw parquet regenerated with new
+        rows (same schema, same path) must rebuild, not resume stale —
+        the plan string names no file content; the fingerprint now
+        hashes every input file's (path, size, mtime)."""
+        src = str(tmp_path / "raw")
+        spark.range(0, 10).write.mode("overwrite").parquet(src)
+        root = str(tmp_path / "ckpt4")
+        pipe = CheckpointedPipeline(spark, root)
+        assert pipe.stage("raw", lambda: spark.read.parquet(src)).count() == 10
+
+        spark.range(0, 25).write.mode("overwrite").parquet(src)  # same schema
+        pipe2 = CheckpointedPipeline(spark, root)
+        df = pipe2.stage("raw", lambda: spark.read.parquet(src))
+        assert not pipe2.results["raw"].resumed
+        assert df.count() == 25
+
+        # unchanged source still resumes
+        pipe3 = CheckpointedPipeline(spark, root)
+        pipe3.stage("raw", lambda: spark.read.parquet(src))
+        assert pipe3.results["raw"].resumed
+
 
 class TestImages:
     def test_decode_stats_shape(self, spark, sf_dir):

@@ -725,6 +725,21 @@ class TestIvfKmeans:
         emb = D.load(spark, sf_dir, "embeddings")
         assert kmeans_centroids(emb, k=5, iters=3) == kmeans_centroids(emb, k=5, iters=3)
 
+    def test_kmeans_empty_clusters_respawn_distinct(self, spark):
+        """r5 review: clusters emptying in the SAME Lloyd iteration
+        must respawn on DISTINCT farthest points — one shared argmin
+        gave them identical centroids, permanently deadening all but
+        the smallest list_id. Near-identical corpus forces most of the
+        k=6 clusters empty every iteration."""
+        from util_gis_spark.operators.ann import kmeans_centroids
+
+        rows = [(i, [1.0 + i * 1e-6, float(i % 3) * 1e-5, 0.5]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_centroids(emb, k=6, iters=4)
+        assert len(cents) == 6
+        uniq = {tuple(c) for _j, c in cents}
+        assert len(uniq) == 6, f"duplicate centroids: {6 - len(uniq)}"
+
 
 class TestReviewRegressionsR4:
     """Pins for the round-4 code-review findings."""

@@ -43,18 +43,17 @@ def test_stateful_sessionizer_closed_sessions_match_batch(spark, sf_dir):
     from util_gis_spark.operators.trajectory import session_summary
 
     pts = S.gps_point_stream(spark, sf_dir)
-    q = (
-        S.sessionize_stream_stateful(pts, gap_s=300)
-        .writeStream.format("memory")
-        .queryName("t_stateful")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # flush_timeout=False: an availableNow run with ProcessingTime
+    # timeouts never terminates (the timeout re-arms every batch) —
+    # r5; open sessions stay in state, which this test accounts for
+    got_df = S.run_stream_to_memory(
+        S.sessionize_stream_stateful(pts, gap_s=300, flush_timeout=False),
+        "t_stateful",
+        output_mode="append",
     )
-    q.awaitTermination(120)
     got = {
         (r["device_id"], r["start_ts"], r["end_ts"], r["n_points"])
-        for r in spark.table("t_stateful").collect()
+        for r in got_df.collect()
     }
     batch = session_summary(D.gps_points(spark, sf_dir), max_gap_s=300)
     want = {
@@ -369,3 +368,52 @@ def test_simhash_stream_reingest_does_not_duplicate(spark, tmp_path):
         per_band.setdefault(r["band"], []).append((r["doc_a"], r["doc_b"]))
     for band, pairs in per_band.items():
         assert pairs == [(1, 2)], (band, pairs)
+
+
+def test_stateful_sessionizer_multichunk_groups(spark, sf_dir):
+    """r5 review: a device whose micro-batch spans MULTIPLE Arrow
+    chunks must sessionize identically to a single-chunk delivery —
+    per-chunk sorting let a later chunk rewind `last` and split a
+    continuous trajectory. Chunk size forced tiny so every device
+    splits into ~4 chunks."""
+    from util_gis_spark.operators.trajectory import session_summary
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try:
+        pts = S.gps_point_stream(spark, sf_dir).filter("device_id < 5")
+        got_df = S.run_stream_to_memory(
+            S.sessionize_stream_stateful(pts, gap_s=300, flush_timeout=False),
+            "t_stateful_chunked",
+            output_mode="append",
+        )
+        got = {
+            (r["device_id"], r["start_ts"], r["end_ts"], r["n_points"])
+            for r in got_df.collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    batch = session_summary(
+        D.gps_points(spark, sf_dir).filter("device_id < 5"), max_gap_s=300
+    )
+    want = {
+        (r["device_id"], r["start_ts"], r["end_ts"], r["n_points"])
+        for r in batch.collect()
+    }
+    assert got <= want
+    assert len(got) >= len(want) - 5  # at most 1 open session per device
+
+
+def test_simhash_stream_closed_bucket_emits_nothing(spark, sf_dir):
+    """r5 review: once a band bucket reaches max_bucket it is CLOSED —
+    further docs emit no pairs and are not recorded (the batch cap's
+    drop-wholesale semantics; emitting without recording re-emitted
+    the same pairs on every replay)."""
+    out = S.run_stream_to_memory(
+        S.simhash_dup_stream(S.document_stream(spark, sf_dir), max_bucket=1),
+        "t_simdup_cap1",
+        output_mode="append",
+    )
+    # every bucket holds exactly one doc before closing -> no pairs at all
+    assert out.count() == 0

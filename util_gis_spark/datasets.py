@@ -39,11 +39,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # G:10933-10940); statuses cycle through invalid values to exercise the
 # 5-rule quality filter (G:10886-10947).
 
-def gps_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+def gps_point_cols() -> list:
+    """The ONE definition of the events -> gps_points column rule
+    (shared by the batch view and streaming.gps_point_stream so the
+    live source cannot drift from the oracle-pinned derivation)."""
     k = F.col("event_id")
     kq = k % 2000
-    return e.select(
+    return [
         (F.col("user_id") % 50).alias("device_id"),
         F.col("ts"),
         (116.0 + ((kq * 7919) % 100000) / 250000.0).alias("lon"),
@@ -54,7 +56,11 @@ def gps_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 5).cast("int").alias("gps_status"),
         (F.floor(k / 5) % 4).cast("int").alias("job_status"),
         k.alias("point_id"),
-    )
+    ]
+
+
+def gps_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(*gps_point_cols())
 
 
 GPS_POINTS_SQL = """

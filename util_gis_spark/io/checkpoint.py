@@ -77,6 +77,25 @@ class CheckpointedPipeline:
         h.update(re.sub(r"#\d+", "#", logical_plan).encode())
         return h.hexdigest()[:16]
 
+    def _source_identity(self, df: DataFrame) -> str:
+        """Content identity for the stage's RAW file inputs: the plan
+        string alone names no file content, so a root stage whose
+        source parquet was regenerated (same schema, new rows) used to
+        resume the STALE checkpoint silently (r5 review — the write_id
+        mechanism only covers dep stages). Hash every input file's
+        (path, size, mtime); unreachable/remote paths contribute their
+        path only."""
+        h = hashlib.sha256()
+        for uri in sorted(df.inputFiles()):
+            h.update(uri.encode())
+            path = uri[7:] if uri.startswith("file:///") else uri.removeprefix("file:")
+            try:
+                st = os.stat(path)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
+        return h.hexdigest()[:16]
+
     def stage(
         self,
         name: str,
@@ -89,7 +108,11 @@ class CheckpointedPipeline:
         stage DataFrame."""
         dep_dfs = [self.spark.read.parquet(self._data_path(d)) for d in deps]
         df = build(*dep_dfs)
-        fp = self._fingerprint(name, list(deps), df._jdf.queryExecution().logical().toString())
+        fp = self._fingerprint(
+            name,
+            list(deps),
+            df._jdf.queryExecution().logical().toString() + self._source_identity(df),
+        )
 
         meta_path = self._meta_path(name)
         data_path = self._data_path(name)

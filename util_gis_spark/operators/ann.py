@@ -193,14 +193,21 @@ def kmeans_centroids(
     C = np.stack(cent)
     for _ in range(iters):
         assign = np.argmax(m @ C.T, axis=1)
+        # respawn empty clusters on DISTINCT farthest points: taking
+        # argmin once gave every simultaneously-empty cluster the SAME
+        # point, leaving duplicate centroids whose ties always resolve
+        # to the smaller list_id — the twin list stayed permanently
+        # empty (r5 review)
+        far_order = np.argsort((m * C[assign]).sum(axis=1))
+        far_i = 0
         for j in range(k):
             members = m[assign == j]
             if len(members):
                 c = members.mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
-            else:  # respawn on the point farthest from its centroid
-                far = int(np.argmin((m * C[assign]).sum(axis=1)))
-                C[j] = m[far]
+            else:
+                C[j] = m[int(far_order[min(far_i, n - 1)])]
+                far_i += 1
     return [(j, C[j].tolist()) for j in range(k)]
 
 
@@ -489,10 +496,13 @@ def embed_topk_blocked(
                 cos = pm_n @ cm_n.T
                 P, B = cos.shape
                 kk = min(_k + 1, B)
-                idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+                # same rounding-tie-safe cut as q_embed_topk (r5): the
+                # global rank ties on the ROUNDED value, so keep
+                # everything within one 1e-5 quantum of the kk-th best
+                kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
                 rows_p, rows_c, rows_s = [], [], []
                 for i in range(P):
-                    for j in idx[i]:
+                    for j in np.flatnonzero(cos[i] >= kth[i] - 1e-5):
                         if cid[j] != pid[i]:
                             rows_p.append(pid[i])
                             rows_c.append(cid[j])

@@ -19,35 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def gps_point_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-based stream over the events table (the sandbox stand-in
-    for a Kafka topic of GPS reports), derived to the gps_points shape
-    with the same deterministic rules as datasets.gps_points."""
+def _stage_stream_dir(sf_dir: str, table: str, prefix: str) -> str:
+    """File streams need a DIRECTORY source: stage a /tmp symlink dir
+    pointing at the table's parquet (one definition — r5 review: the
+    10-line staging block was duplicated verbatim in both sources)."""
     import hashlib
     import os
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # file streams need a DIRECTORY source: stage a symlink dir
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = f"/tmp/util_gis_spark_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    stage = f"/tmp/util_gis_spark_{prefix}_{hashlib.md5(src.encode()).hexdigest()[:8]}"
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
+    link = os.path.join(stage, f"{table}.parquet")
     if os.path.lexists(link) and not os.path.exists(link):
         os.unlink(link)  # dangling symlink from a moved/recreated source
     if not os.path.lexists(link):
         os.symlink(src, link)
+    return stage
+
+
+def gps_point_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based stream over the events table (the sandbox stand-in
+    for a Kafka topic of GPS reports), derived to the gps_points shape
+    by the SAME column rule as the batch view (datasets.gps_point_cols
+    — one definition, so the streaming source cannot drift from the
+    oracle-pinned batch derivation; r5 review)."""
+    from . import datasets as D
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = _stage_stream_dir(sf_dir, "events", "stream")
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
-    k = F.col("event_id")
-    kq = k % 2000
-    return stream.select(
-        (F.col("user_id") % 50).alias("device_id"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        (116.0 + ((kq * 7919) % 100000) / 250000.0).alias("lon"),
-        (39.5 + ((kq * 104729) % 100000) / 250000.0).alias("lat"),
+    return stream.select(*D.gps_point_cols()).select(
+        "device_id", F.col("ts").cast("timestamp").alias("ts"), "lon", "lat"
     )
 
 
@@ -86,15 +92,26 @@ def tile_count_stream(points_stream: DataFrame, res: int = 14, watermark: str = 
 
 
 def sessionize_stream_stateful(
-    points_stream: DataFrame, gap_s: int = 300, watermark: str = "10 minutes"
+    points_stream: DataFrame,
+    gap_s: int = 300,
+    watermark: str = "10 minutes",
+    flush_timeout: bool = True,
 ) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState — the
     arbitrary-state API the built-in session_window can't replace when
     the reference's richer state machines (cadence voting, G:6249) go
     streaming. State per device: (seg_start_s, last_s, n_points).
-    Emits one row per CLOSED session; the final open session flushes
-    when the state times out (or, with availableNow, stays open —
-    tests account for it)."""
+    Emits one row per CLOSED session; with `flush_timeout` the final
+    open session flushes when the state times out.
+
+    `flush_timeout=False` is REQUIRED for availableNow/one-shot runs:
+    a ProcessingTimeTimeout is re-armed on every batch, so available-
+    now keeps scheduling empty batches to fire timeouts that keep
+    moving — the query literally never terminates (r5 review: the old
+    test masked this by ignoring awaitTermination's False and reading
+    the by-then-complete table under a still-spinning query). On a
+    continuous stream the timeout flush is the right semantics and
+    the default."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -128,13 +145,24 @@ def sessionize_stream_stateful(
             seg_start = last = None
             n = 0
         closed = []
+        # a large group arrives as MULTIPLE Arrow chunks (the session
+        # caps maxRecordsPerBatch at 20k): sorting per chunk let a
+        # later chunk rewind `last` and split a continuous trajectory
+        # (r5 review) — gather every chunk, then sort ONCE
+        import numpy as np
+
+        parts = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             # normalize explicitly to ns before the µs conversion —
             # pandas/pyarrow may deliver datetime64[us] depending on
             # version, which would skew the gap rule by 1000x
-            us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000).to_numpy()
+            parts.append(
+                (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000).to_numpy()
+            )
+        if parts:
+            us = np.concatenate(parts)
             us.sort()
             for u in us:
                 # gap rule on floored seconds == batch unix_timestamp diff
@@ -146,7 +174,7 @@ def sessionize_stream_stateful(
                 else:
                     last = int(u)
                     n += 1
-        if state.hasTimedOut:
+        if flush_timeout and state.hasTimedOut:
             if seg_start is not None:
                 closed.append((device_id, seg_start, last, n))
             state.remove()
@@ -156,7 +184,8 @@ def sessionize_stream_stateful(
             # epoch-1970 session (and `or 0` would conflate a
             # legitimate epoch-0 start with absent state)
             state.update((int(seg_start), int(last), int(n)))
-            state.setTimeoutDuration(gap_s * 1000)
+            if flush_timeout:
+                state.setTimeoutDuration(gap_s * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -167,30 +196,21 @@ def sessionize_stream_stateful(
                 }
             )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if flush_timeout else GroupStateTimeout.NoTimeout
+    )
     return (
         points_stream.withWatermark("ts", watermark)
         .groupBy("device_id")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-        )
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
     )
 
 
 def document_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-based stream over the documents table (the sandbox
     stand-in for a Kafka topic of crawled documents)."""
-    import hashlib
-    import os
-
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    stage = f"/tmp/util_gis_spark_docstream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if os.path.lexists(link) and not os.path.exists(link):
-        os.unlink(link)  # dangling symlink from a moved/recreated source
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    stage = _stage_stream_dir(sf_dir, "documents", "docstream")
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -274,16 +294,23 @@ def simhash_dup_stream(
                     # again would re-emit all its historical pairs and
                     # bloat the bucket with duplicates
                     continue
+                if len(ids) >= max_bucket:
+                    # bucket CLOSED: emit nothing and record nothing —
+                    # the batch cap drops oversized (boilerplate)
+                    # buckets wholesale, and emitting without recording
+                    # would re-emit the same pairs on every replay of
+                    # this doc (the re-ingest guard only covers
+                    # recorded ids; r5 review)
+                    continue
                 for prev_id, prev_sh in zip(ids, hashes):
                     h = (prev_sh ^ sh).bit_count()
                     if h <= max_hamming:
                         rows_a.append(min(prev_id, doc_id))
                         rows_b.append(max(prev_id, doc_id))
                         rows_h.append(h)
-                if len(ids) < max_bucket:
-                    ids.append(doc_id)
-                    hashes.append(sh)
-                    seen.add(doc_id)
+                ids.append(doc_id)
+                hashes.append(sh)
+                seen.add(doc_id)
         state.update((ids, hashes))
         if rows_a:
             yield pd.DataFrame(
@@ -373,6 +400,11 @@ def minhash_dup_stream(
                 if doc_id in seen:
                     # re-ingested doc: skip — see simhash_dup_stream
                     continue
+                if len(ids) >= max_bucket:
+                    # bucket closed — see simhash_dup_stream (batch-cap
+                    # semantics + the re-ingest guard only covers
+                    # recorded ids)
+                    continue
                 for k in range(len(ids)):
                     prev_id = ids[k]
                     prev_sig = sigs[k * N_HASHES : (k + 1) * N_HASHES]
@@ -382,10 +414,9 @@ def minhash_dup_stream(
                         rows_a.append(min(prev_id, doc_id))
                         rows_b.append(max(prev_id, doc_id))
                         rows_j.append(round(est, 5))
-                if len(ids) < max_bucket:
-                    ids.append(doc_id)
-                    sigs.extend(sig)
-                    seen.add(doc_id)
+                ids.append(doc_id)
+                sigs.extend(sig)
+                seen.add(doc_id)
         state.update((ids, sigs))
         if rows_a:
             yield pd.DataFrame(
@@ -397,16 +428,30 @@ def minhash_dup_stream(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
-    """Complete-mode execution into an in-memory table (tests/demos):
-    processes everything available, stops, returns the result."""
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Run a stream into an in-memory table (tests/demos): processes
+    everything available, stops, returns the result. `output_mode`
+    defaults to 'complete' (aggregation streams); the stateful
+    applyInPandasWithState operators need 'append'. Raises on timeout
+    instead of returning a silently PARTIAL table (r5 review:
+    awaitTermination's boolean was discarded)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} still running after {timeout_s}s — "
+            "the in-memory table would be partial"
+        )
     spark = stream_df.sparkSession
     return spark.table(name)
