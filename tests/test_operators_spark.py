@@ -601,6 +601,53 @@ class TestSimhashKernelParity:
         b = {(r["doc_id"], r["simhash"]) for r in simhash_docs_hof(docs).collect()}
         assert a == b and len(a) > 0
 
+    def test_wide_simhash_lo_half_matches_narrow(self, spark):
+        """The 64-bit scale path strictly extends the pinned 32-bit
+        fingerprint: sim_lo must be BIT-IDENTICAL to simhash_docs."""
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.dedup import simhash_docs, simhash_docs_wide
+
+        docs = D.documents_range(spark, 500, 4)
+        narrow = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+        wide = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in simhash_docs_wide(docs).collect()}
+        assert set(narrow) == set(wide) and len(narrow) == 500
+        assert all(wide[d][1] == narrow[d] for d in narrow)
+        # the hi half is a genuinely different fingerprint family
+        assert sum(wide[d][0] != wide[d][1] for d in wide) > 400
+
+    def test_wide_simhash_pairs_equal_brute_force(self, spark):
+        """4x16-bit band LSH + two-half popcount == exhaustive 64-bit
+        hamming<=2 over the corpus (pigeonhole guarantees no band miss
+        at <=3 flips)."""
+        import numpy as np
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.dedup import simhash_docs_wide, simhash_near_dup_pairs_wide
+
+        docs = D.documents_range(spark, 2000, 8)
+        fp = sorted(
+            (r["doc_id"], (int(r["sim_hi"]) << 32) | int(r["sim_lo"]))
+            for r in simhash_docs_wide(docs).collect()
+        )
+        ids = np.array([d for d, _ in fp], dtype=np.int64)
+        h = np.array([v for _, v in fp], dtype=np.uint64)
+        x = h[:, None] ^ h[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        want = {
+            (int(ids[i]), int(ids[j]), int(ham[i, j]))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if ham[i, j] <= 2
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs_wide(docs, max_hamming=2).collect()
+        }
+        assert got == want and len(want) > 0
+
     def test_md5_memo_is_transparent_and_bounded(self):
         """r5: both kernels route per-string md5 through a bounded
         per-worker memo — hit and miss must return the exact direct

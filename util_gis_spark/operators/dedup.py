@@ -621,6 +621,133 @@ SELECT doc_id, CAST({simhash_sql()} AS BIGINT) AS simhash FROM (
 """
 
 
+# ------------------------------------------------------- simhash, 64-bit
+# The 32-bit fingerprint is the reference's pinned width (docs_simhash
+# oracle parity), but it SATURATES around 10^5-10^6 docs: random
+# hamming<=2 collisions among n 32-bit fingerprints (~C(n,2)*529/2^32)
+# start rivaling true near-dups — measured at 500k generated docs:
+# 29,449 pairs of which ~15k are the random-collision floor (see
+# BENCH/BASELINE.md r5). This is the 64-bit scale path: the
+# fingerprint is TWO independent 32-bit halves (the low half is
+# bit-identical to simhash_docs; the high half uses a salted token
+# hash), LSH = four 16-bit bands (pigeonhole: hamming<=3 over 64 bits
+# always leaves a clean band), exact popcount verify over both halves.
+
+
+def _token_hash32_hi(t: str) -> int:
+    """Independent second 32-bit token hash (salted md5, same memo)."""
+    return _md5_60("h|" + t) % MOD32
+
+
+def simhash_docs_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo) — 64-bit simhash as two 32-bit halves.
+    sim_lo is BIT-IDENTICAL to simhash_docs' fingerprint (same token
+    hash, same majority vote), so the wide path strictly extends the
+    narrow one; sim_hi votes on the salted hash family."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sim_hi", T.LongType()),
+            T.StructField("sim_lo", T.LongType()),
+        ]
+    )
+    weights = 1 << np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def run(batches):
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                toks = {t for t in ws.split(text) if t}
+                if not toks:
+                    continue
+                lo = np.fromiter(
+                    (_token_hash32(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                hi = np.fromiter(
+                    (_token_hash32_hi(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                n = len(lo)
+                bits_lo = (lo[:, None] >> np.arange(SIMHASH_BITS)) & 1
+                bits_hi = (hi[:, None] >> np.arange(SIMHASH_BITS)) & 1
+                ids.append(doc_id)
+                los.append(int(weights[2 * bits_lo.sum(axis=0) > n].sum()))
+                his.append(int(weights[2 * bits_hi.sum(axis=0) > n].sum()))
+            yield pd.DataFrame({"doc_id": ids, "sim_hi": his, "sim_lo": los})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
+def simhash_near_dup_pairs_wide(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """64-bit SimHash near-dup pairs: four 16-bit bands over (hi, lo)
+    via ONE explode, exact two-half popcount verify. Same plan shape
+    as the 32-bit operator; the wider fingerprint pushes the random-
+    collision floor from ~2^-32 to ~2^-64 per pair."""
+    s = simhash_docs_wide(docs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    (F.col("sim_lo") if b < 2 else F.col("sim_hi"))
+                    / (1 << (16 * (b % 2)))
+                )
+                .cast("long")
+                .alias("bh")
+                # NOTE: integer division then % 65536 below
+            )
+            for b in range(4)
+        ]
+    )
+    bands = (
+        s.select("doc_id", "sim_hi", "sim_lo", F.explode(band_arr).alias("_b"))
+        .select(
+            "doc_id",
+            "sim_hi",
+            "sim_lo",
+            F.col("_b.band").alias("band"),
+            (F.col("_b.bh") % 65536).alias("bh"),
+        )
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("ha_hi"),
+        F.col("sim_lo").alias("ha_lo"),
+        "band",
+        "bh",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("hb_hi"),
+        F.col("sim_lo").alias("hb_lo"),
+        "band",
+        "bh",
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha_hi", "ha_lo", "hb_hi", "hb_lo")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("cast(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo) as int)"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
     """n-gram Jaccard near-dup pairs: character-trigram shingles
     through the same MinHash-LSH band pipeline (the scale path — exact
