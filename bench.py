@@ -234,6 +234,27 @@ def main() -> None:
 
     run("simhash_pairs_gen", simhash_gen, reps=2)
 
+    # --- ANN growth ladder (r5): the embeddings table stops at sf-size,
+    # so the ANN pillar had recall quality but no measured growth slope.
+    # embeddings_range generates a CLUSTERED corpus at any size with
+    # true cluster labels; the ladder runs IVF (the documented right
+    # tool for clustered data — LSH's 16-table x 7-flip fan-out is
+    # candidate-bound there, measured 72 s at 50k vs ~8 s for IVF) with
+    # a FIXED 500-probe set so the work per probe, not the probe count,
+    # scales with the corpus (nprobe/n_lists of the corpus per probe =
+    # a linear ladder).
+    n_vecs_gen = int(os.environ.get("BENCH_VEC_COUNT", "20000"))
+    emb_gen = D.embeddings_range(spark, n_vecs_gen, cpus)
+
+    def ann_ivf_gen():
+        from util_gis_spark.operators.ann import ann_ivf_topk
+
+        return ann_ivf_topk(
+            emb_gen, probe_filter=f"vec_id % {n_vecs_gen // 500} = 0"
+        ).count()
+
+    run("ann_ivf_gen", ann_ivf_gen, reps=2)
+
     # --- 10x data-growth ladder (VERDICT r2 'Next round' #7): the same
     # two spatial jobs at sf1-equivalent image volume (10x rows from the
     # same deterministic generator — documents/events are driver-
@@ -289,6 +310,17 @@ def main() -> None:
 
         run("simhash_pairs_gen_10x", simhash_gen10, reps=1)
 
+        emb_gen10 = D.embeddings_range(spark, n_vecs_gen * 10, cpus * 2)
+
+        def ann_ivf_gen10():
+            from util_gis_spark.operators.ann import ann_ivf_topk
+
+            return ann_ivf_topk(
+                emb_gen10, probe_filter=f"vec_id % {n_vecs_gen * 10 // 500} = 0"
+            ).count()
+
+        run("ann_ivf_gen_10x", ann_ivf_gen10, reps=1)
+
     # --- headline tail placement (noise hardening, VERDICT r3 #7):
     # repeat the headline now that every other job has run; keep the
     # min across both placements as THE headline.
@@ -299,7 +331,7 @@ def main() -> None:
         timings["spatial_join_tile_assign_head"], timings["spatial_join_tile_assign_tail"]
     )
 
-    _emit(sf, cpus, factor, n_images, timings, counts, loadavg, n_docs_gen)
+    _emit(sf, cpus, factor, n_images, timings, counts, loadavg, n_docs_gen, n_vecs_gen)
 
 
 def _quality(sf_dir: str) -> dict:
@@ -385,7 +417,7 @@ def _quality(sf_dir: str) -> dict:
     return out
 
 
-def _emit(sf, cpus, factor, n_images, timings, counts, loadavg=None, n_docs_gen=None):
+def _emit(sf, cpus, factor, n_images, timings, counts, loadavg=None, n_docs_gen=None, n_vecs_gen=None):
     headline_sec = timings["spatial_join_tile_assign"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ladder_rows = {
@@ -393,6 +425,7 @@ def _emit(sf, cpus, factor, n_images, timings, counts, loadavg=None, n_docs_gen=
         "pip_join_cells": n_images,
         "minhash_dedup_gen": n_docs_gen,
         "simhash_pairs_gen": n_docs_gen,
+        "ann_ivf_gen": n_vecs_gen,
     }
     ratios = {}
     slopes = {}

@@ -765,6 +765,63 @@ class TestIvfKmeans:
                 want.add((int(pid), nid, -negcos, lid))
         assert got == want and len(got) > 0
 
+    def test_lsh_signature_kernel_matches_column_form(self, spark, sf_dir):
+        """The r5 Arrow signature kernel must be BIT-IDENTICAL to the
+        bucket_expr Column form (same int64 plane arithmetic, same
+        ascending-d float fold) — the Column form stays as the twin the
+        SQL oracle is built from."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import (
+            N_TABLES,
+            bucket_expr,
+            lsh_signatures_kernel,
+        )
+
+        base = D.load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        kern = {
+            r["vec_id"]: list(r["buckets"]) for r in lsh_signatures_kernel(base).collect()
+        }
+        col = (
+            base.withColumn("t", F.explode(F.expr(f"sequence(0, {N_TABLES - 1})")))
+            .withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
+            .collect()
+        )
+        want: dict = {}
+        for r in col:
+            want.setdefault(r["vec_id"], [0] * N_TABLES)[r["t"]] = r["bucket"]
+        assert kern == want and len(kern) > 0
+
+    def test_cos_kernel_matches_hof_expr(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from util_gis_spark.operators.ann import _cos_expr, _cos_kernel
+
+        from util_gis_spark import datasets as D
+
+        base = D.load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        pairs = (
+            base.select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"))
+            .join(base.select(F.col("vec_id").alias("neighbor_id"), "v"))
+            .filter("probe_id % 50 = 0 AND neighbor_id % 17 = 0")
+        )
+        got = {
+            (r["probe_id"], r["neighbor_id"]): r["cos_raw"]
+            for r in _cos_kernel(pairs).collect()
+        }
+        want = {
+            (r["probe_id"], r["neighbor_id"]): r["c"]
+            for r in pairs.select(
+                "probe_id", "neighbor_id", _cos_expr("pv", "v").alias("c")
+            ).collect()
+        }
+        assert len(got) > 100 and got == want  # exact double equality
+
     def test_kmeans_deterministic(self, spark, sf_dir):
         from util_gis_spark import datasets as D
         from util_gis_spark.operators.ann import kmeans_centroids

@@ -287,6 +287,35 @@ def documents_range(spark: SparkSession, n_docs: int, partitions: int) -> DataFr
     )
 
 
+def embeddings_range(
+    spark: SparkSession, n_vecs: int, partitions: int, dim: int = 64, n_clusters: int = 25
+) -> DataFrame:
+    """Bench-only deterministic embedding generator (the vector
+    analogue of documents_range): (vec_id, embedding array<double>,
+    label) rows straight from spark.range, all JVM expressions, any
+    size. Vectors are unit-normalized cluster centers plus 30%
+    pseudo-noise — CLUSTERED structure (label = true cluster), the
+    regime where bucketed ANN actually earns its candidate pruning
+    (the driver corpus is weakly clustered, median NN cos 0.41 — see
+    the LSH operating-point notes). Components come from sin() of
+    integer-keyed constants: deterministic, no RNG, no Python."""
+    k = F.col("id").cast("long")
+    c = (k % n_clusters).cast("long")
+    j = F.sequence(F.lit(0), F.lit(dim - 1))
+    raw = F.transform(
+        j,
+        lambda i: F.sin(c.cast("double") * 7.10 + i.cast("double") * 1.30)
+        + 0.3 * F.sin(k.cast("double") * 12.9898 + i.cast("double") * 78.233),
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(raw, lambda x: x / norm)
+    return spark.range(0, n_vecs, 1, partitions).select(
+        k.alias("vec_id"),
+        unit.alias("embedding"),
+        c.cast("int").alias("label"),
+    )
+
+
 def images_with_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """images + a deterministic `bytes` binary column (pseudo-image:
     the repeated md5 of the image_id — stands in for encoded pixels;

@@ -103,6 +103,59 @@ def _flip_values(multiprobe: int) -> list[int]:
     return out
 
 
+def lsh_signatures_kernel(base: DataFrame) -> DataFrame:
+    """(vec_id, buckets array<long>[N_TABLES]) via a vectorized Arrow
+    kernel — BIT-IDENTICAL to the Column form `bucket_expr` (asserted
+    by a row-for-row parity test): the plane values are exact int64
+    arithmetic in both, and the dot accumulates in ascending-d order
+    exactly like Catalyst's sequential `aggregate` fold, so not even
+    the float summation order differs. Exists because Catalyst
+    evaluates higher-order-function lambdas INTERPRETED per element:
+    16 tables x 6 planes x dim elements ~ 6k boxed lambda calls per
+    row was the measured floor of the generated-corpus ladder (~30 s /
+    50k vectors per consumer); the kernel does the same flops
+    vectorized across rows (~100x)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            n, dim = m.shape
+            if planes is None or planes.shape[2] != dim:
+                # plane(t, j, d) exactly as _plane_term: int64 products
+                # stay < 2^63 (max base ~1.9e6 * 2654435761 ~ 5.1e15)
+                t_i = np.arange(N_TABLES, dtype=np.int64)[:, None, None]
+                j_i = np.arange(N_PLANES, dtype=np.int64)[None, :, None]
+                d_i = np.arange(dim, dtype=np.int64)[None, None, :]
+                planes = (
+                    (((t_i * 977 + j_i) * 131 + d_i) * 2654435761) % 2000
+                ) / 1000.0 - 1.0
+            buckets = np.zeros((n, N_TABLES), dtype=np.int64)
+            for t in range(N_TABLES):
+                for j in range(N_PLANES):
+                    acc = np.zeros(n)
+                    for d in range(dim):  # ascending-d fold == aggregate()
+                        acc = acc + m[:, d] * planes[t, j, d]
+                    buckets[:, t] += np.where(acc > 0, 1 << j, 0)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "buckets": list(buckets)}
+            )
+
+    return base.select("vec_id", "v").mapInPandas(run, schema=schema)
+
+
 def ann_lsh_topk(
     embeddings_df: DataFrame,
     probe_filter: str = "vec_id % 100 = 0",
@@ -117,32 +170,153 @@ def ann_lsh_topk(
     base = embeddings_df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = base.withColumn("t", F.explode(F.expr(f"sequence(0, {N_TABLES - 1})"))).withColumn(
-        "bucket", F.expr(bucket_expr("v")).cast("long")
+    # signatures via the vectorized Arrow kernel (bit-identical to the
+    # bucket_expr Column form — parity-tested); `probe_filter` may only
+    # reference vec_id, it is applied on the narrow signature table
+    e_nar = lsh_signatures_kernel(base).select(
+        "vec_id", F.posexplode("buckets").alias("t", "bucket")
     )
     flips = ", ".join(str(f) for f in _flip_values(multiprobe))
+    # the bucket join carries ONLY (t, bucket, id) — the same narrow-
+    # shuffle rule the minhash band join follows. On a CLUSTERED corpus
+    # a probe's cluster collides in EVERY table x flip, so a (probe,
+    # cand) pair rides the join up to tables x (1+bits) = 112 times;
+    # shipping both 64-dim arrays through that duplication put ~16 GB
+    # through the dedup exchange at 500 probes x 50k vectors (measured
+    # 352 s; narrow join + attach-by-key after the dedup + the Arrow
+    # signature kernel: 15 s, same rows).
     probes = (
-        e.filter(probe_filter)
+        e_nar.filter(probe_filter)
         .withColumn("_f", F.explode(F.expr(f"array({flips})")))
         .select(
             F.col("vec_id").alias("probe_id"),
-            F.col("v").alias("pv"),
             "t",
             F.expr("bucket ^ _f").cast("long").alias("bucket"),
         )
     )
-    joined = (
-        probes.join(e, ["t", "bucket"])
+    cand = (
+        probes.join(e_nar, ["t", "bucket"])
         .filter(F.col("probe_id") != F.col("vec_id"))
         .dropDuplicates(["probe_id", "vec_id"])
     )
-    scored = joined.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos_expr("pv", "v"), 5).alias("cos_sim"),
-    )
+    joined = cand.join(
+        base.select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")), "probe_id"
+    ).join(base, "vec_id")
+    # cosine via the same ordered-fold Arrow idiom as the signature
+    # kernel (ascending-d accumulation == the _cos_expr HOF fold, so
+    # the raw doubles are identical; parity-tested). Rounding stays a
+    # JVM F.round so the oracle's BigDecimal HALF_UP semantics are
+    # byte-for-byte unchanged. The HOF form scored ~64 interpreted
+    # lambda calls per pair — the dominant cost at 10^6 candidate
+    # pairs on the generated ladder.
+    scored = _cos_kernel(
+        joined.select("probe_id", F.col("vec_id").alias("neighbor_id"), "pv", "v")
+    ).select("probe_id", "neighbor_id", F.round("cos_raw", 5).alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def _list_score_kernel(withp: DataFrame) -> DataFrame:
+    """(probe_id, neighbor_id, list_id, cos_raw) from candidate rows
+    (vec_id, v, list_id, _probes array<struct<probe_id, pv>>): per
+    (batch, list) the probe matrix scores every candidate with the
+    same ascending-d ordered fold as _cos_expr, so each double is
+    bit-identical to the pair-at-a-time HOF form. Self-pairs
+    (probe_id == vec_id) are excluded like the join filter was."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("list_id", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_p, out_n, out_l, out_c = [], [], [], []
+            for lid, idx in pdf.groupby("list_id", sort=False).indices.items():
+                sub = pdf.iloc[idx]
+                prows = sub["_probes"].iloc[0]
+                pids = np.array([int(r["probe_id"]) for r in prows], dtype=np.int64)
+                P = np.vstack([np.asarray(r["pv"], dtype=np.float64) for r in prows])
+                B = np.vstack(sub["v"].to_numpy()).astype(np.float64)
+                cids = sub["vec_id"].to_numpy(np.int64)
+                npb, dim = P.shape
+                nb = len(cids)
+                dot = np.zeros((npb, nb))
+                pn = np.zeros(npb)
+                bn = np.zeros(nb)
+                for d in range(dim):  # ascending-d fold == aggregate()
+                    dot = dot + P[:, d, None] * B[None, :, d]
+                    pn = pn + P[:, d] * P[:, d]
+                    bn = bn + B[:, d] * B[:, d]
+                cos = dot / (np.sqrt(pn)[:, None] * np.sqrt(bn)[None, :])
+                keep = pids[:, None] != cids[None, :]
+                pi, bi = np.nonzero(keep)
+                out_p.append(pids[pi])
+                out_n.append(cids[bi])
+                out_l.append(np.full(len(pi), int(lid), dtype=np.int64))
+                out_c.append(cos[pi, bi])
+            if out_p:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.concatenate(out_p),
+                        "neighbor_id": np.concatenate(out_n),
+                        "list_id": np.concatenate(out_l),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    return withp.select("vec_id", "v", "list_id", "_probes").mapInPandas(run, schema=schema)
+
+
+def _cos_kernel(pairs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(probe_id, neighbor_id, *carry, cos_raw) from (probe_id,
+    neighbor_id, pv, v, *carry) — vectorized across pairs,
+    accumulating in ascending-d order so each double is bit-identical
+    to the sequential aggregate/zip_with fold of _cos_expr. `carry`
+    columns (long-typed) pass through untouched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("probe_id", T.LongType()), T.StructField("neighbor_id", T.LongType())]
+        + [T.StructField(c, T.LongType()) for c in carry]
+        + [T.StructField("cos_raw", T.DoubleType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf["pv"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            n, dim = a.shape
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(dim):  # ascending-d fold == aggregate()
+                dot = dot + a[:, d] * b[:, d]
+                na = na + a[:, d] * a[:, d]
+                nb = nb + b[:, d] * b[:, d]
+            out = {
+                "probe_id": pdf["probe_id"].to_numpy(np.int64),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+            }
+            for c in carry:
+                out[c] = pdf[c].to_numpy(np.int64)
+            out["cos_raw"] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(run, schema=schema)
 
 
 def _dot_expr(a: str, b: str):
@@ -301,11 +475,22 @@ def ann_ivf_topk(
     probes = ranked.filter(F.col("_rk") <= nprobe).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "list_id"
     )
-    joined = probes.join(assigned, "list_id").filter(F.col("probe_id") != F.col("vec_id"))
-    scored = joined.select(
+    # list scan: every candidate row ships through Arrow ONCE with its
+    # list's probe MATRIX attached via a tiny broadcast (nprobe * 500
+    # probes * 512 B per list), instead of materializing (pair x both
+    # 64-dim arrays) rows — at 500 probes x 50k vectors the pair form
+    # pushed ~3 GB through Arrow for 3M candidate pairs; the matrix
+    # form ships 25 MB. Scoring is the ordered-fold kernel (bit-
+    # identical doubles to the _cos_expr HOF, parity-tested); rounding
+    # stays JVM F.round.
+    plist = probes.groupBy("list_id").agg(
+        F.collect_list(F.struct("probe_id", "pv")).alias("_probes")
+    )
+    withp = assigned.join(F.broadcast(plist), "list_id")
+    scored = _list_score_kernel(withp).select(
         "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos_expr("pv", "v"), 5).alias("cos_sim"),
+        "neighbor_id",
+        F.round("cos_raw", 5).alias("cos_sim"),
         "list_id",
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
