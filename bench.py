@@ -438,29 +438,54 @@ def _emit(sf, cpus, factor, n_images, timings, counts, loadavg=None, n_docs_gen=
             ratios[q] = round(
                 (10 * rows1 / timings[f"{q}_10x"]) / (rows1 / timings[q]), 2
             )
-    print(
-        json.dumps(
-            {
-                "metric": "spatial_join_tile_assign_sec",
-                "value": headline_sec,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_images": n_images,
-                "images_per_sec": round(n_images / headline_sec, 1) if headline_sec else None,
-                "cpus": cpus,
-                "image_factor": factor,
-                "n_docs_gen": n_docs_gen,
-                "row_counts": counts,
-                "loadavg": loadavg or {},
-                # time-ratio slope, kept for round-over-round continuity;
-                # overhead-INCLUSIVE (see scale_throughput_ratio_10x)
-                "scale_slope_10x_overhead_incl": slopes,
-                "scale_throughput_ratio_10x": ratios,
-                "quality": _quality(sf_dir),
-            }
-        )
-    )
+    full = {
+        "metric": "spatial_join_tile_assign_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / headline_sec, 1) if headline_sec else None,
+        "cpus": cpus,
+        "image_factor": factor,
+        "n_docs_gen": n_docs_gen,
+        "row_counts": counts,
+        "loadavg": loadavg or {},
+        # time-ratio slope, kept for round-over-round continuity;
+        # overhead-INCLUSIVE (see scale_throughput_ratio_10x)
+        "scale_slope_10x_overhead_incl": slopes,
+        "scale_throughput_ratio_10x": ratios,
+        "quality": _quality(sf_dir),
+    }
+    # Full detail first (may exceed the driver's stdout tail-capture
+    # window — r5's single long line got truncated mid-number and the
+    # driver recorded parsed:null), then persist it, then end with a
+    # SHORT guaranteed-parseable headline line (VERDICT r5 #1).
+    print(json.dumps(full))
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except Exception as exc:
+        print(f"# last_run.json write failed: {exc}", file=sys.stderr)
+    print(json.dumps(headline_line(full)))
+
+
+def headline_line(full: dict) -> dict:
+    """The final stdout line: a <1 KB subset the driver's tail capture
+    always holds whole (tested in tests/test_bench_emit.py). Full
+    detail lives in the preceding line and BENCH/last_run.json."""
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "images_per_sec": full["images_per_sec"],
+        "loadavg": full.get("loadavg") or {},
+        "scaling_efficiency_min": (full.get("quality") or {}).get("scaling_efficiency_min"),
+        "detail": "BENCH/last_run.json",
+    }
 
 
 if __name__ == "__main__":
