@@ -1,0 +1,87 @@
+"""The gps_simplify_angle / gps_distance_sampling driver rows use REAL
+DuckDB twins that restate the closed-form keep-mask of the crafted
+tracks (queries._sampling_track):
+
+  zigzag  (simplify_by_angle):       keep iff i==0, i==n-1, or i%3 != 1
+  cluster (fast_distance_sampling):  keep iff i % 10 == 0
+
+These tests prove the closed forms equal the sequential kernels for
+EVERY track length, not just the 50 per-device lengths the driver
+fixture happens to produce — the same precondition-pinning idea as the
+gps_time_windows twin. The track geometry is re-derived here with
+plain numpy from the documented construction (serpentine of 0.6 m
+edges turning every 3rd edge; 20-point clusters 0.6 m apart
+oscillating 0.1 m), NOT by calling the engine's fixture builder, so a
+builder bug cannot hide a kernel bug or vice versa.
+"""
+
+import numpy as np
+import pytest
+
+from util_gis_spark.operators.sampling import (
+    np_fast_distance_sampling,
+    np_simplify_by_angle,
+)
+
+
+def zigzag_xy(n: int) -> np.ndarray:
+    out = np.zeros((n, 2))
+    pos = np.array([0.0, 0.0])
+    dirs = [(0.6, 0.0), (0.0, 0.6), (-0.6, 0.0), (0.0, 0.6)]
+    for i in range(1, n):
+        d = dirs[((i - 1) // 3) % 4]
+        pos = pos + d
+        out[i] = pos
+    return out
+
+
+def cluster_xy(n: int) -> np.ndarray:
+    i = np.arange(n)
+    return np.stack([(i // 20) * 0.6, (i % 2) * 0.1], axis=1)
+
+
+def expected_simplify(n: int) -> np.ndarray:
+    i = np.arange(n)
+    keep = (i % 3) != 1
+    keep[0] = True
+    if n:
+        keep[-1] = True
+    return keep
+
+
+def expected_fds(n: int) -> np.ndarray:
+    return (np.arange(n) % 10) == 0
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 9, 10, 11, 19, 20, 21, 59, 100, 176, 200, 313])
+def test_simplify_closed_form_matches_kernel(n):
+    got = np_simplify_by_angle(zigzag_xy(n))
+    want = expected_simplify(n)
+    assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
+
+
+@pytest.mark.parametrize("n", [1, 2, 9, 10, 11, 20, 21, 30, 100, 176, 200, 313])
+def test_fds_closed_form_matches_kernel(n):
+    got = np_fast_distance_sampling(cluster_xy(n))
+    want = expected_fds(n)
+    assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
+
+
+def test_fixture_builder_matches_independent_geometry(spark):
+    """The Spark fixture builder must produce the exact geometry the
+    closed forms were derived for (per device, positions keyed by the
+    per-device (ts, point_id) rank)."""
+    from util_gis_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for zig, ref in ((True, zigzag_xy), (False, cluster_xy)):
+        pdf = (
+            Q._sampling_track(spark, sf, zigzag=zig)
+            .toPandas()
+            .sort_values(["device_id", "i"])
+        )
+        for _dev, g in pdf.groupby("device_id"):
+            assert np.array_equal(g["i"].to_numpy(), np.arange(len(g)))
+            np.testing.assert_allclose(
+                g[["x", "y"]].to_numpy(), ref(len(g)), atol=1e-9
+            )

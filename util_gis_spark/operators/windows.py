@@ -351,3 +351,18 @@ def has_time_overlap(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFra
     return flagged.groupBy(*group_cols).agg(
         (F.coalesce(F.sum("_ovl"), F.lit(0)) > 0).alias("has_overlap")
     )
+
+
+def has_time_overlap_sql(ranges_src: str) -> str:
+    """DuckDB twin of has_time_overlap: `ranges_src` must yield
+    (device_id, start_ts, end_ts) with per-device distinct start_ts
+    (the operator's lag window orders by start_ts alone)."""
+    return f"""
+WITH r AS ({ranges_src}),
+l AS (SELECT device_id, start_ts,
+             lag(end_ts) OVER (PARTITION BY device_id ORDER BY start_ts) AS prev_end
+      FROM r)
+SELECT device_id,
+       coalesce(sum(CASE WHEN prev_end > start_ts THEN 1 ELSE 0 END), 0) > 0 AS has_overlap
+FROM l GROUP BY device_id
+"""
