@@ -369,22 +369,33 @@ def _quality(sf_dir: str) -> dict:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from ann_recall import lsh_signatures
 
-        sig = lsh_signatures(m, N_TABLES, N_PLANES)
-        hits = cand = 0
-        for r_i, pi in enumerate(pidx):
-            pb = sig[:, pi]
-            if MULTIPROBE:
-                coll = np.zeros(n, dtype=bool)
-                for t in range(N_TABLES):
-                    coll |= np.isin(sig[t], [pb[t]] + [pb[t] ^ (1 << j) for j in range(N_PLANES)])
-            else:
-                coll = (sig == pb[:, None]).any(axis=0)
-            coll[pi] = False
-            cand += int(coll.sum())
-            hits += int(coll[truth[r_i]])
-        out["ann_recall_at1"] = round(hits / len(pidx), 3)
-        out["ann_cand_frac"] = round(cand / len(pidx) / n, 3)
+        def recall_at(n_tables, n_planes, mp):
+            sig = lsh_signatures(m, n_tables, n_planes)
+            hits = cand = 0
+            for r_i, pi in enumerate(pidx):
+                pb = sig[:, pi]
+                if mp:
+                    coll = np.zeros(n, dtype=bool)
+                    for t in range(n_tables):
+                        coll |= np.isin(
+                            sig[t], [pb[t]] + [pb[t] ^ (1 << j) for j in range(n_planes)]
+                        )
+                else:
+                    coll = (sig == pb[:, None]).any(axis=0)
+                coll[pi] = False
+                cand += int(coll.sum())
+                hits += int(coll[truth[r_i]])
+            return round(hits / len(pidx), 3), round(cand / len(pidx) / n, 3)
+
+        out["ann_recall_at1"], out["ann_cand_frac"] = recall_at(
+            N_TABLES, N_PLANES, MULTIPROBE
+        )
         out["ann_config"] = f"{N_TABLES}x{N_PLANES}bits_mp{MULTIPROBE}"
+        # the scale dial at a non-default setting (ann_lsh_topk's
+        # n_tables/n_planes params — VERDICT r5 #4): fewer, wider
+        # tables = the "bits grows with log N" direction
+        out["ann_recall_at1_alt"], out["ann_cand_frac_alt"] = recall_at(8, 8, 1)
+        out["ann_config_alt"] = "8x8bits_mp1"
     except Exception as exc:  # quality must never sink the bench
         out["ann_error"] = str(exc)[:200]
     try:

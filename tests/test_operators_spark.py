@@ -536,6 +536,22 @@ class TestBlockedTopK:
         out = embed_topk_blocked(D.load(spark, sf_dir, "embeddings"), probe_filter="vec_id < 0")
         assert out.count() == 0
 
+    def test_probe_byte_cap_refuses(self, spark, sf_dir):
+        """The probe ingestion is byte-capped like the kNN candidate
+        ingestion (VERDICT r5 Wrong #4): an over-cap probe set must
+        refuse with a pointer at LSH/IVF, never silently collect."""
+        import pytest
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import embed_topk_blocked
+
+        with pytest.raises(ValueError, match="max_probe_bytes"):
+            embed_topk_blocked(
+                D.load(spark, sf_dir, "embeddings"),
+                probe_filter="vec_id % 2 = 0",
+                max_probe_bytes=1024,
+            )
+
 
 class TestEdgeAttachment:
     def test_broadcast_and_inline_edges_equal(self, spark, sf_dir):

@@ -58,11 +58,11 @@ def _plane_term(j: int, d_expr: str = "d", t_expr: str = "t") -> str:
     return f"(((({t_expr}*977 + {j})*131 + {d_expr}) * 2654435761) % 2000) / 1000.0 - 1.0"
 
 
-def bucket_expr(v_col: str = "v", t_expr: str = "t") -> str:
+def bucket_expr(v_col: str = "v", t_expr: str = "t", n_planes: int = N_PLANES) -> str:
     """Spark SQL expression: LSH bucket id of an array<double> column
     under hash table `t_expr` (0-based element index d)."""
     bits = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         dot = (
             f"aggregate(transform({v_col}, (x, d) -> x * ({_plane_term(j, 'd', t_expr)})), "
             f"cast(0.0 as double), (a, x) -> a + x)"
@@ -71,10 +71,10 @@ def bucket_expr(v_col: str = "v", t_expr: str = "t") -> str:
     return " + ".join(bits)
 
 
-def bucket_sql(v_col: str = "v", t_expr: str = "t") -> str:
+def bucket_sql(v_col: str = "v", t_expr: str = "t", n_planes: int = N_PLANES) -> str:
     """DuckDB twin (1-based list index -> d = i-1)."""
     bits = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         term = _plane_term(j, "(i-1)", t_expr)
         dot = (
             f"list_aggregate(list_transform(generate_series(1, len({v_col})), "
@@ -94,17 +94,19 @@ def _cos_expr(a: str, b: str):
     return dot / (norm(F.col(a)) * norm(F.col(b)))
 
 
-def _flip_values(multiprobe: int) -> list[int]:
+def _flip_values(multiprobe: int, n_planes: int = N_PLANES) -> list[int]:
     """Bucket-id XOR masks probed per table: the exact bucket plus, at
     multiprobe=1, every 1-bit flip of the signature."""
     out = [0]
     if multiprobe:
-        out += [1 << j for j in range(N_PLANES)]
+        out += [1 << j for j in range(n_planes)]
     return out
 
 
-def lsh_signatures_kernel(base: DataFrame) -> DataFrame:
-    """(vec_id, buckets array<long>[N_TABLES]) via a vectorized Arrow
+def lsh_signatures_kernel(
+    base: DataFrame, n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> DataFrame:
+    """(vec_id, buckets array<long>[n_tables]) via a vectorized Arrow
     kernel — BIT-IDENTICAL to the Column form `bucket_expr` (asserted
     by a row-for-row parity test): the plane values are exact int64
     arithmetic in both, and the dot accumulates in ascending-d order
@@ -136,15 +138,15 @@ def lsh_signatures_kernel(base: DataFrame) -> DataFrame:
             if planes is None or planes.shape[2] != dim:
                 # plane(t, j, d) exactly as _plane_term: int64 products
                 # stay < 2^63 (max base ~1.9e6 * 2654435761 ~ 5.1e15)
-                t_i = np.arange(N_TABLES, dtype=np.int64)[:, None, None]
-                j_i = np.arange(N_PLANES, dtype=np.int64)[None, :, None]
+                t_i = np.arange(n_tables, dtype=np.int64)[:, None, None]
+                j_i = np.arange(n_planes, dtype=np.int64)[None, :, None]
                 d_i = np.arange(dim, dtype=np.int64)[None, None, :]
                 planes = (
                     (((t_i * 977 + j_i) * 131 + d_i) * 2654435761) % 2000
                 ) / 1000.0 - 1.0
-            buckets = np.zeros((n, N_TABLES), dtype=np.int64)
-            for t in range(N_TABLES):
-                for j in range(N_PLANES):
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for j in range(n_planes):
                     acc = np.zeros(n)
                     for d in range(dim):  # ascending-d fold == aggregate()
                         acc = acc + m[:, d] * planes[t, j, d]
@@ -161,22 +163,42 @@ def ann_lsh_topk(
     probe_filter: str = "vec_id % 100 = 0",
     k: int = 3,
     multiprobe: int = MULTIPROBE,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Top-k cosine neighbors per probe among candidates colliding in
-    ANY of the N_TABLES LSH tables, with the probe side fanned out to
+    ANY of the `n_tables` LSH tables, with the probe side fanned out to
     its bucket's 1-bit flips at multiprobe=1 (query-directed probing:
     candidate volume grows ~(1+bits)x per table, index size doesn't).
-    Output (probe_id, neighbor_id, cos_sim)."""
+    Output (probe_id, neighbor_id, cos_sim).
+
+    `n_tables`/`n_planes`/`multiprobe` are the scale dial (module
+    defaults = the measured recall@1>=0.9 config on the driver corpus):
+    grow n_planes with log N to keep buckets sparse, n_tables and
+    multiprobe with the recall target.
+
+    `probe_filter` may reference ONLY the narrow signature columns
+    (vec_id, t, bucket) — it is applied after the embedding array has
+    been pruned off the probe side (the r5 narrow-join change: carrying
+    v through the bucket join put ~16 GB through the exchange). A
+    predicate over the embedding column is rejected eagerly here."""
     base = embeddings_df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # signatures via the vectorized Arrow kernel (bit-identical to the
-    # bucket_expr Column form — parity-tested); `probe_filter` may only
-    # reference vec_id, it is applied on the narrow signature table
-    e_nar = lsh_signatures_kernel(base).select(
+    # bucket_expr Column form — parity-tested)
+    e_nar = lsh_signatures_kernel(base, n_tables, n_planes).select(
         "vec_id", F.posexplode("buckets").alias("t", "bucket")
     )
-    flips = ", ".join(str(f) for f in _flip_values(multiprobe))
+    try:
+        filtered = e_nar.filter(probe_filter)
+        filtered.schema  # force analysis now, not at action time
+    except Exception as exc:
+        raise ValueError(
+            f"probe_filter {probe_filter!r} must only reference the "
+            f"narrow signature columns (vec_id, t, bucket): {exc}"
+        ) from None
+    flips = ", ".join(str(f) for f in _flip_values(multiprobe, n_planes))
     # the bucket join carries ONLY (t, bucket, id) — the same narrow-
     # shuffle rule the minhash band join follows. On a CLUSTERED corpus
     # a probe's cluster collides in EVERY table x flip, so a (probe,
@@ -186,7 +208,7 @@ def ann_lsh_topk(
     # 352 s; narrow join + attach-by-key after the dedup + the Arrow
     # signature kernel: 15 s, same rows).
     probes = (
-        e_nar.filter(probe_filter)
+        filtered
         .withColumn("_f", F.explode(F.expr(f"array({flips})")))
         .select(
             F.col("vec_id").alias("probe_id"),
@@ -585,16 +607,20 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
 
 
 def ann_lsh_topk_sql(
-    probe_filter: str = "vec_id % 100 = 0", k: int = 3, multiprobe: int = MULTIPROBE
+    probe_filter: str = "vec_id % 100 = 0",
+    k: int = 3,
+    multiprobe: int = MULTIPROBE,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
 ) -> str:
-    flips = ", ".join(str(f) for f in _flip_values(multiprobe))
+    flips = ", ".join(str(f) for f in _flip_values(multiprobe, n_planes))
     return f"""
 WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), tables AS (
-  SELECT unnest(generate_series(0, {N_TABLES - 1})) AS t
+  SELECT unnest(generate_series(0, {n_tables - 1})) AS t
 ), e AS (
-  SELECT vec_id, v, t, CAST({bucket_sql('v')} AS BIGINT) AS bucket FROM e0 CROSS JOIN tables
+  SELECT vec_id, v, t, CAST({bucket_sql('v', 't', n_planes)} AS BIGINT) AS bucket FROM e0 CROSS JOIN tables
 ), flips AS (
   SELECT unnest([{flips}]) AS f
 ), probes AS (
@@ -624,6 +650,7 @@ def embed_topk_blocked(
     probe_filter: str = "vec_id % 100 = 0",
     k: int = 5,
     block_size: int = 10_000,
+    max_probe_bytes: int = 256 << 20,
 ) -> DataFrame:
     """EXACT cosine top-k for probe sets above the single-broadcast cap
     of the baseline kernel (queries.q_embed_topk refuses > max_probes):
@@ -637,7 +664,16 @@ def embed_topk_blocked(
     cross-product; this is the documented middle tier. Output
     (probe_id, neighbor_id, cos_sim), self excluded, global top-k with
     (cos desc, neighbor_id) tie-break — identical rows to the baseline
-    kernel on the same input."""
+    kernel on the same input.
+
+    The probe ingestion is Arrow (toPandas -> numpy columns, never
+    per-row Python objects) and BYTE-capped like the kNN candidate
+    ingestion (joins._cand_arrays): this tier exists to lift
+    q_embed_topk's probe-COUNT cap, not to hold an unbounded probe
+    matrix on the driver, so above `max_probe_bytes` (default 256 MB,
+    ~500k probes x 64 dims) it REFUSES and points at LSH/IVF — the
+    cap is enforced with limit(cap_rows+1) inside the ingestion job,
+    bounding the transfer itself, not just the kept matrix."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -647,10 +683,6 @@ def embed_topk_blocked(
     e = embeddings_df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    probe_rows = sorted(
-        (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
-        for r in e.filter(probe_filter).collect()
-    )
     schema = T.StructType(
         [
             T.StructField("probe_id", T.LongType()),
@@ -658,14 +690,31 @@ def embed_topk_blocked(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
-    if not probe_rows:
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:
         return spark.createDataFrame([], schema)
+    cap_rows = max(max_probe_bytes // (8 * int(first["d"]) + 8), 1)
+    cpdf = (
+        e.filter(probe_filter)
+        .limit(cap_rows + 1)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if len(cpdf) > cap_rows:
+        raise ValueError(
+            f"embed_topk_blocked: probe matrix exceeds max_probe_bytes="
+            f"{max_probe_bytes} ({cap_rows} x {int(first['d'])}-dim rows); "
+            "use the LSH/IVF path for unbounded probe sets or raise the cap"
+        )
+    if len(cpdf) == 0:
+        return spark.createDataFrame([], schema)
+    pid_all = cpdf["vec_id"].to_numpy(np.int64)
+    pm_all = np.vstack(cpdf["v"].to_numpy()).astype(np.float64)
 
     scored = None
-    for s in range(0, len(probe_rows), block_size):
-        blk = probe_rows[s : s + block_size]
-        pid_l = np.array([p[0] for p in blk], dtype=np.int64)
-        pm = np.vstack([p[1] for p in blk])
+    for s in range(0, len(pid_all), block_size):
+        pid_l = pid_all[s : s + block_size]
+        pm = pm_all[s : s + block_size]
         bc = spark.sparkContext.broadcast(
             (pid_l, pm / np.linalg.norm(pm, axis=1, keepdims=True))
         )
