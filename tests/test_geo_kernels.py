@@ -406,3 +406,37 @@ class TestR5NumericCoreHardening:
         ).select("id", cells.cell_expr(F.col("lon"), F.col("lat"), 14))
         rows = {r["id"]: r["cell"] for r in df.collect()}
         assert rows[1] is not None and rows[2] is None and rows[3] is None
+
+    def test_index_exprs_null_guard_spark(self, spark):
+        """ADVICE r5 #2: the guard must live in the shared clamp itself
+        — lon_ix_expr/lat_iy_expr are used directly by knn_join_cells
+        and tile_cover_exprs, where a NaN previously collapsed onto the
+        max index (least/greatest are NULL-skipping)."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 116.0, 39.5), (2, None, None), (3, float("nan"), float("nan"))],
+            "id long, lon double, lat double",
+        ).select(
+            "id",
+            cells.lon_ix_expr(F.col("lon"), 14).alias("ix"),
+            cells.lat_iy_expr(F.col("lat"), 14).alias("iy"),
+        )
+        rows = {r["id"]: (r["ix"], r["iy"]) for r in df.collect()}
+        assert rows[1][0] is not None and rows[1][1] is not None
+        assert rows[2] == (None, None) and rows[3] == (None, None)
+
+    def test_tile_assignment_drops_nan_coord_rows(self, spark):
+        """Downstream effect of the guard: a NaN-coordinate image gets
+        NO tiles (sequence(NULL, NULL) explodes to nothing) instead of
+        a corner-cell tile."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from util_gis_spark.operators.joins import tile_assignment
+
+        df = spark.createDataFrame(
+            [(1, 116.0, 39.5, 1000, 1000), (2, float("nan"), 39.5, 1000, 1000)],
+            "image_key long, lon double, lat double, w long, h long",
+        )
+        got = {r["image_key"] for r in tile_assignment(df, res=16).collect()}
+        assert got == {1}

@@ -40,17 +40,25 @@ def lon_ix_expr(lon: Column, res: int) -> Column:
     """Clamped east-west cell index as a Column — the ONE definition of
     the clamp; the kNN ladder and tile cover must use this, not a
     hand-copied variant (r5 review: four inline copies had grown in
-    joins.py against this module's anti-drift contract)."""
+    joins.py against this module's anti-drift contract). NULL/NaN
+    input yields a NULL index (r6, ADVICE r5 #2): least/greatest are
+    null-SKIPPING in both engines, so without the guard a dirty
+    coordinate collapsed onto the max index — every caller of the
+    clamp gets the same joins-nothing degradation cell_expr has, not
+    just cell_expr itself."""
     n = float(_nx(res))
     ix = F.least(F.floor((lon + 180.0) / 360.0 * n), F.lit(n - 1)).cast("long")
-    return F.greatest(ix, F.lit(0).cast("long"))
+    ix = F.greatest(ix, F.lit(0).cast("long"))
+    return F.when(lon.isNull() | F.isnan(lon), F.lit(None).cast("long")).otherwise(ix)
 
 
 def lat_iy_expr(lat: Column, res: int) -> Column:
-    """Clamped north-south cell index as a Column."""
+    """Clamped north-south cell index as a Column (same NULL/NaN
+    guard as lon_ix_expr)."""
     n = float(_nx(res))
     iy = F.least(F.floor((lat + 90.0) / 180.0 * n), F.lit(n - 1)).cast("long")
-    return F.greatest(iy, F.lit(0).cast("long"))
+    iy = F.greatest(iy, F.lit(0).cast("long"))
+    return F.when(lat.isNull() | F.isnan(lat), F.lit(None).cast("long")).otherwise(iy)
 
 
 def pack_expr(res: int, ix: Column, iy: Column) -> Column:

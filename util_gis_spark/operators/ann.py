@@ -238,13 +238,22 @@ def ann_lsh_topk(
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
-def _list_score_kernel(withp: DataFrame) -> DataFrame:
-    """(probe_id, neighbor_id, list_id, cos_raw) from candidate rows
-    (vec_id, v, list_id, _probes array<struct<probe_id, pv>>): per
-    (batch, list) the probe matrix scores every candidate with the
-    same ascending-d ordered fold as _cos_expr, so each double is
-    bit-identical to the pair-at-a-time HOF form. Self-pairs
-    (probe_id == vec_id) are excluded like the join filter was."""
+def _list_score_kernel(cand: DataFrame, probes_bc) -> DataFrame:
+    """(probe_id, neighbor_id, list_id, cos_raw) from NARROW candidate
+    rows (vec_id, v, list_id): per (batch, list) the list's probe
+    matrix — read from the task broadcast `probes_bc` (dict list_id ->
+    (pids int64[], P float64[n_probes, dim]), one executor-wide copy)
+    — scores every candidate with the same ascending-d ordered fold as
+    _cos_expr, so each double is bit-identical to the pair-at-a-time
+    HOF form. Self-pairs (probe_id == vec_id) are excluded like the
+    join filter was.
+
+    r6 (ADVICE r5 #3): the previous form attached the matrix as a
+    nested `_probes` COLUMN via a broadcast join, which duplicated it
+    onto every candidate row through the Arrow boundary — shipped
+    bytes scaled as candidates x probes-per-list x dim, rivaling the
+    pair form it replaced at high probe density. The broadcast
+    variable keeps candidate rows at id + vector + list id."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -259,15 +268,17 @@ def _list_score_kernel(withp: DataFrame) -> DataFrame:
     )
 
     def run(batches):
+        pmap = probes_bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out_p, out_n, out_l, out_c = [], [], [], []
             for lid, idx in pdf.groupby("list_id", sort=False).indices.items():
+                got = pmap.get(int(lid))
+                if got is None:
+                    continue
+                pids, P = got
                 sub = pdf.iloc[idx]
-                prows = sub["_probes"].iloc[0]
-                pids = np.array([int(r["probe_id"]) for r in prows], dtype=np.int64)
-                P = np.vstack([np.asarray(r["pv"], dtype=np.float64) for r in prows])
                 B = np.vstack(sub["v"].to_numpy()).astype(np.float64)
                 cids = sub["vec_id"].to_numpy(np.int64)
                 npb, dim = P.shape
@@ -296,7 +307,7 @@ def _list_score_kernel(withp: DataFrame) -> DataFrame:
                     }
                 )
 
-    return withp.select("vec_id", "v", "list_id", "_probes").mapInPandas(run, schema=schema)
+    return cand.select("vec_id", "v", "list_id").mapInPandas(run, schema=schema)
 
 
 def _cos_kernel(pairs: DataFrame, carry: tuple = ()) -> DataFrame:
@@ -497,19 +508,37 @@ def ann_ivf_topk(
     probes = ranked.filter(F.col("_rk") <= nprobe).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "list_id"
     )
-    # list scan: every candidate row ships through Arrow ONCE with its
-    # list's probe MATRIX attached via a tiny broadcast (nprobe * 500
-    # probes * 512 B per list), instead of materializing (pair x both
-    # 64-dim arrays) rows — at 500 probes x 50k vectors the pair form
-    # pushed ~3 GB through Arrow for 3M candidate pairs; the matrix
-    # form ships 25 MB. Scoring is the ordered-fold kernel (bit-
-    # identical doubles to the _cos_expr HOF, parity-tested); rounding
-    # stays JVM F.round.
-    plist = probes.groupBy("list_id").agg(
-        F.collect_list(F.struct("probe_id", "pv")).alias("_probes")
-    )
-    withp = assigned.join(F.broadcast(plist), "list_id")
-    scored = _list_score_kernel(withp).select(
+    # list scan: candidate rows stay NARROW (vec_id, v, list_id) and
+    # ship through Arrow once; the per-list probe matrices ship ONCE
+    # PER EXECUTOR via sc.broadcast, read inside the kernel (the probe
+    # payload is nprobe * n_probes * (dim * 8 + 8) B total — e.g.
+    # 500 probes x 3 lists x 64 dims ~ 780 KB — vs the pair form's
+    # (pair x both arrays) rows: ~3 GB at 500 probes x 50k vectors).
+    # Scoring is the ordered-fold kernel (bit-identical doubles to the
+    # _cos_expr HOF, parity-tested); rounding stays JVM F.round. The
+    # probe ingestion is Arrow (toPandas) and the driver-side matrix is
+    # the same size the old broadcast-join hash table was.
+    import numpy as np
+
+    ppdf = probes.toPandas()
+    if len(ppdf) == 0:
+        spark = embeddings_df.sparkSession
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
+        )
+    pmap = {}
+    for lid, idx in ppdf.groupby("list_id", sort=False).indices.items():
+        sub = ppdf.iloc[idx]
+        pmap[int(lid)] = (
+            sub["probe_id"].to_numpy(np.int64),
+            np.vstack(sub["pv"].to_numpy()).astype(np.float64),
+        )
+    spark = embeddings_df.sparkSession
+    probes_bc = spark.sparkContext.broadcast(pmap)
+    # same semantics as the old inner broadcast join: candidates in
+    # lists no probe ranked are dropped before the kernel
+    cand = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
+    scored = _list_score_kernel(cand, probes_bc).select(
         "probe_id",
         "neighbor_id",
         F.round("cos_raw", 5).alias("cos_sim"),
