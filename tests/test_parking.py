@@ -95,6 +95,70 @@ class TestSplitTimeOverlaps:
         assert got == {d: sorted(np_split_time_overlaps(rs)) for d, rs in raw.items()}
 
 
+class TestSplitTimeOverlapSegments:
+    """The POINT-level splitTimeOverlaps (G:8385-8485) — the form that
+    keeps the reference's re-emit-the-tail semantics the range-level
+    operator intentionally drops (ADVICE r5 #1)."""
+
+    def test_reference_cascade(self):
+        from util_gis_spark.operators.parking import np_split_time_overlap_segments
+
+        # hand-traced against the reference loop:
+        # A=[0,10,20,30] overlaps B=[15,25] -> split at 14: emit [0,10],
+        # tail [20,30] re-enters; sort puts B first; B overlaps tail ->
+        # emit [15], tail-of-B [25] re-enters; [20,30] overlaps [25] ->
+        # emit [20], tail [30]; final pairs no longer overlap.
+        got = np_split_time_overlap_segments(
+            [np.array([0.0, 10.0, 20.0, 30.0]), np.array([15.0, 25.0])]
+        )
+        assert [list(s) for s in sorted(got, key=lambda s: s[0])] == [
+            [0.0, 10.0],
+            [15.0],
+            [20.0],
+            [25.0],
+            [30.0],
+        ]
+
+    def test_no_overlap_identity(self):
+        from util_gis_spark.operators.parking import np_split_time_overlap_segments
+
+        segs = [np.array([0.0, 5.0]), np.array([5.0, 9.0]), np.array([20.0])]
+        got = np_split_time_overlap_segments(segs)
+        assert [list(s) for s in got] == [list(s) for s in segs]
+
+    def test_livelock_state_terminates(self):
+        from util_gis_spark.operators.parking import np_split_time_overlap_segments
+
+        # tail's first point == next start: the reference's own loop
+        # never progresses here; ours stops with the state as-is
+        got = np_split_time_overlap_segments(
+            [np.array([10.0, 30.0]), np.array([10.5, 40.0])]
+        )
+        flat = sorted(x for s in got for x in s)
+        assert flat == [10.0, 10.5, 30.0, 40.0]  # no point lost
+
+    def test_dataframe_form_reassigns_segments(self, spark):
+        from datetime import datetime, timedelta
+
+        from util_gis_spark.operators.parking import split_time_overlap_segments
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, 0, t0 + timedelta(seconds=s))
+            for s in (0.0, 10.0, 20.0, 30.0)
+        ] + [(1, 1, t0 + timedelta(seconds=s)) for s in (15.0, 25.0)]
+        df = spark.createDataFrame(rows, "device_id long, seg_id long, ts timestamp")
+        got = {}
+        for r in split_time_overlap_segments(df).collect():
+            got.setdefault(r["seg_id"], []).append(
+                (r["ts"] - t0).total_seconds()
+            )
+        got = {k: sorted(v) for k, v in got.items()}
+        assert got == {0: [0.0, 10.0], 1: [15.0], 2: [20.0], 3: [25.0], 4: [30.0]}
+        # points survive in full — nothing dropped, unlike the range form
+        assert sum(len(v) for v in got.values()) == 6
+
+
 class TestDriftVerdict:
     def test_drift_vs_field(self, spark):
         import pandas as pd

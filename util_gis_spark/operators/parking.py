@@ -217,13 +217,24 @@ def filter_parking_points_by_index(df_projected: DataFrame, **kw) -> DataFrame:
 
 
 def split_time_overlaps(ranges_df: DataFrame, group_cols=("device_id",)) -> DataFrame:
-    """splitTimeOverlaps (G:8385-8485) as a grouped-map operator: per
-    group, sort ranges by start and clip each range's end to
-    next_start - 1 s where it overlaps the next range; ranges whose
-    clipped end falls before their start are dropped. One shuffle on
-    the group key; the single sorted pass is the reference loop's
-    fixpoint (a clipped end next_start - 1 can never still overlap the
-    range after next)."""
+    """splitTimeOverlaps (G:8385-8485) at RANGE level: per group, sort
+    ranges by start and clip each range's end to next_start - 1 s where
+    it overlaps the next range; ranges whose clipped end falls before
+    their start are dropped. One shuffle on the group key.
+
+    INTENTIONAL DIVERGENCE from the reference (ADVICE r5 #1): the
+    reference operates on segments OF POINTS and re-emits the part of
+    the current segment past the split boundary as a new segment that
+    is re-sorted and reprocessed; this range-level form DROPS the
+    overlapping remainder [next_start, end] instead. The remainder
+    cannot be re-emitted faithfully here: a re-emitted range would
+    start exactly at next_start, and on equal-start segments the
+    reference's own loop fails to make progress (its termination
+    depends on the discrete point times being strictly past the
+    boundary), so any range-level tie-break invents semantics the
+    reference does not define. Callers who need the reference's
+    keep-the-tail behavior should use split_time_overlap_segments on
+    the underlying points — it replicates the reference loop exactly."""
     from pyspark.sql import types as T
 
     cols = list(group_cols)
@@ -280,3 +291,98 @@ def np_split_time_overlaps(ranges: list[tuple[float, float]]) -> list[tuple[floa
         if e >= s:
             res.append((s, e))
     return res
+
+
+def np_split_time_overlap_segments(segments: list[np.ndarray]) -> list[np.ndarray]:
+    """The reference splitTimeOverlaps loop (G:8385-8485), EXACTLY, on
+    segments of point times (seconds): sort segments by first-point
+    time; when a segment's last point passes the next segment's start,
+    split it at next_start - 1 s — points <= the boundary are emitted
+    as their own segment, points past it re-enter the worklist and are
+    re-sorted/reprocessed (the keep-the-tail semantics the range-level
+    operator intentionally drops). One divergence: the reference
+    livelocks when the tail's first point lands exactly on next_start
+    (the empty head makes no progress and the stable re-sort keeps the
+    pair order); we detect the no-progress state and stop, keeping the
+    segments as-is. Each input array must be ascending (the reference
+    guarantees per-segment GPS-time order)."""
+    out = _split_overlap_worklist(
+        [
+            (np.asarray(s, dtype=np.float64), np.arange(len(s), dtype=np.int64))
+            for s in segments
+            if len(s)
+        ]
+    )
+    return [t for t, _i in out]
+
+
+def _split_overlap_worklist(segs):
+    """The worklist loop shared by the time-only and DataFrame forms;
+    each item is (times ascending, point indices) split in lockstep so
+    point identity survives duplicate timestamps."""
+    while True:
+        segs.sort(key=lambda a: a[0][0])  # stable, like List.sort
+        found = False
+        new = []
+        for i, (cur, ci) in enumerate(segs):
+            if i < len(segs) - 1 and cur[-1] > segs[i + 1][0][0]:
+                found = True
+                split_end = segs[i + 1][0][0] - 1.0
+                mask = cur <= split_end
+                head, hi = cur[mask], ci[mask]
+                tail, ti = cur[~mask], ci[~mask]
+                if len(head):
+                    new.append((head, hi))
+                if len(tail):
+                    if len(head) == 0:
+                        # reference livelock state: no head to emit and
+                        # the tail re-sorts into the same position
+                        new.extend(segs[i:])
+                        return new
+                    new.extend([(tail, ti)] + segs[i + 1 :])
+                break
+            new.append((cur, ci))
+        segs = new
+        if not found:
+            return segs
+
+
+def split_time_overlap_segments(
+    points_df: DataFrame, group_cols=("device_id",), seg_col: str = "seg_id"
+) -> DataFrame:
+    """DataFrame form of the reference's point-level splitTimeOverlaps:
+    input points carry a segment id (e.g. from split_cluster_by_time);
+    output is the same points with `seg_col` REASSIGNED to the
+    re-segmentation's ordinal (segments ordered by start time, 0-based
+    per group) so that no two segments of a group overlap in time and
+    overlapping tails survive as their own segments. One shuffle on
+    the group key, per-group python loop == the reference's."""
+    from pyspark.sql import types as T
+
+    cols = list(group_cols)
+    schema = T.StructType(
+        [f for f in points_df.schema.fields if f.name != seg_col]
+        + [T.StructField(seg_col, T.LongType())]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, secs = sorted_with_secs(pdf)
+        pdf = pdf.reset_index(drop=True)
+        by_seg = pdf.groupby(seg_col, sort=False).indices
+        out = _split_overlap_worklist(
+            [(secs[idx], np.asarray(idx, dtype=np.int64)) for _s, idx in by_seg.items()]
+        )
+        # new segment ordinal = rank of segment start time (the loop
+        # already returns the list sorted by start, bar the final
+        # no-progress exit — rank explicitly to be safe)
+        ranks = np.argsort([t[0] for t, _i in out], kind="stable")
+        new_id = np.full(len(pdf), -1, dtype=np.int64)
+        for rank, si in enumerate(ranks):
+            new_id[out[si][1]] = rank
+        keep = pdf.drop(columns=[seg_col]).copy()
+        keep[seg_col] = new_id
+        return keep
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(points_df, cols, run, schema)
