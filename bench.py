@@ -2,10 +2,14 @@
 tile-assignment (the BASELINE.json metric), plus the other engine
 pillars (cell-join PIP, kNN, GPS pipeline, dedup/text, ANN).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...,
-   "loadavg": {...}, "quality": {...}, "scale_throughput_ratio_10x": ...}
+Output contract (r6 — the r5 single long line outgrew the driver's
+stdout tail capture and got truncated mid-number): TWO JSON lines plus
+a file. First the full-detail line ({"metric", "value", "unit",
+"queries": {name: sec, ...}, "sf", "images_per_sec", "loadavg",
+"quality", "scale_throughput_ratio_10x", ...}), which is also
+persisted to BENCH/last_run.json; then a FINAL short (<1 KB, tested)
+headline-only line — parse the LAST line of stdout, read
+BENCH/last_run.json for the rest.
 
 Noise protocol (VERDICT r3 #7): loadavg is recorded at start and
 before the headline; the headline reps run FIRST and are REPEATED at

@@ -440,3 +440,34 @@ class TestR5NumericCoreHardening:
         )
         got = {r["image_key"] for r in tile_assignment(df, res=16).collect()}
         assert got == {1}
+
+    def test_tile_twin_matches_on_dirty_coords(self, spark):
+        """r6 review: the DuckDB twin must carry the same NULL/NaN
+        guard — unguarded it DIED on the NaN->bigint cast and emitted a
+        corner tile for NULL, while guarded Spark drops the row."""
+        import duckdb
+
+        from util_gis_spark.operators.joins import tile_assignment, tile_assignment_sql
+
+        rows = [
+            (1, 116.0, 39.5, 1000, 1000),
+            (2, float("nan"), 39.5, 1000, 1000),
+            (3, None, 39.5, 1000, 1000),
+            (4, 116.0, None, 1000, 1000),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_key long, lon double, lat double, w long, h long"
+        )
+        got = sorted(
+            (r["image_key"], r["tile"]) for r in tile_assignment(df, res=16).collect()
+        )
+        src = (
+            "SELECT * FROM (VALUES (1, 116.0, 39.5, 1000, 1000), "
+            "(2, CAST('nan' AS DOUBLE), 39.5, 1000, 1000), "
+            "(3, CAST(NULL AS DOUBLE), 39.5, 1000, 1000), "
+            "(4, 116.0, CAST(NULL AS DOUBLE), 1000, 1000)) "
+            "AS t(image_key, lon, lat, w, h)"
+        )
+        odf = duckdb.connect().execute(tile_assignment_sql(src, 16)).df()
+        want = sorted(zip(odf["image_key"].astype(int), odf["tile"].astype(int)))
+        assert got == want and {k for k, _t in got} == {1}

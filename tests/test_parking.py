@@ -137,6 +137,31 @@ class TestSplitTimeOverlapSegments:
         flat = sorted(x for s in got for x in s)
         assert flat == [10.0, 10.5, 30.0, 40.0]  # no point lost
 
+    def test_livelock_freezes_only_its_pair(self):
+        """r6 review: the livelock exit used to abort the ENTIRE
+        remaining worklist; segments unrelated to the frozen pair must
+        still split."""
+        from util_gis_spark.operators.parking import np_split_time_overlap_segments
+
+        got = np_split_time_overlap_segments(
+            [
+                np.array([10.0, 30.0]),   # livelocks against the next
+                np.array([10.5, 40.0]),
+                np.array([100.0, 130.0]),  # overlaps the next, resolvable
+                np.array([115.0, 140.0]),
+            ]
+        )
+        segs = sorted([list(s) for s in got], key=lambda s: s[0])
+        # frozen pair kept whole, later pair split like the cascade
+        assert segs == [
+            [10.0, 30.0],
+            [10.5, 40.0],
+            [100.0],
+            [115.0],
+            [130.0],
+            [140.0],
+        ]
+
     def test_dataframe_form_reassigns_segments(self, spark):
         from datetime import datetime, timedelta
 

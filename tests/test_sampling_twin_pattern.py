@@ -67,13 +67,13 @@ def test_fds_closed_form_matches_kernel(n):
     assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
 
 
-def test_fixture_builder_matches_independent_geometry(spark):
+def test_fixture_builder_matches_independent_geometry(spark, sf_dir):
     """The Spark fixture builder must produce the exact geometry the
     closed forms were derived for (per device, positions keyed by the
     per-device (ts, point_id) rank)."""
     from util_gis_spark import queries as Q
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     for zig, ref in ((True, zigzag_xy), (False, cluster_xy)):
         pdf = (
             Q._sampling_track(spark, sf, zigzag=zig)

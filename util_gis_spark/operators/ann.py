@@ -190,14 +190,19 @@ def ann_lsh_topk(
     e_nar = lsh_signatures_kernel(base, n_tables, n_planes).select(
         "vec_id", F.posexplode("buckets").alias("t", "bucket")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         filtered = e_nar.filter(probe_filter)
         filtered.schema  # force analysis now, not at action time
-    except Exception as exc:
+    except AnalysisException as exc:
+        # only analysis failures are rebranded (r6 review: a blanket
+        # except turned transient Py4J/JVM errors into a misleading
+        # invalid-filter message); anything else propagates as-is
         raise ValueError(
             f"probe_filter {probe_filter!r} must only reference the "
             f"narrow signature columns (vec_id, t, bucket): {exc}"
-        ) from None
+        ) from exc
     flips = ", ".join(str(f) for f in _flip_values(multiprobe, n_planes))
     # the bucket join carries ONLY (t, bucket, id) — the same narrow-
     # shuffle rule the minhash band join follows. On a CLUSTERED corpus
@@ -538,6 +543,12 @@ def ann_ivf_topk(
     # same semantics as the old inner broadcast join: candidates in
     # lists no probe ranked are dropped before the kernel
     cand = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
+    # NOTE: building the probe matrices runs Spark jobs EAGERLY here
+    # (probe ranking + toPandas), and the broadcast lives until the
+    # caller destroys it — the returned DataFrame carries it as
+    # `.probes_bc` (the `.sig_cache` convention) so sessions looping
+    # over many probe sets can `.probes_bc.destroy()` after consuming;
+    # a leaked one is a few hundred KB pickled on the driver.
     scored = _list_score_kernel(cand, probes_bc).select(
         "probe_id",
         "neighbor_id",
@@ -545,7 +556,9 @@ def ann_ivf_topk(
         "list_id",
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    out = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    out.probes_bc = probes_bc
+    return out
 
 
 def ann_ivf_topk_sql(probe_filter: str = "vec_id % 100 = 0", k: int = 3, nprobe: int = 3) -> str:

@@ -1259,15 +1259,22 @@ def tile_assignment(
 
 
 def tile_assignment_sql(images_src: str, res: int = 16) -> str:
-    """DuckDB oracle twin of tile_assignment (generate_series in SQL)."""
+    """DuckDB oracle twin of tile_assignment (generate_series in SQL).
+    Carries the same NULL/NaN guard as cells.lon_ix_expr/lat_iy_expr
+    (r6 review: the guarded Spark side drops a NaN-coordinate image,
+    while the unguarded twin either died on the NaN->bigint cast or
+    emitted a corner tile for NULL — generate_series(NULL, ...) in a
+    LATERAL yields zero rows, matching explode(sequence(NULL, ...)))."""
     n = float(1 << res)
     nmax = (1 << res) - 1
 
     def ix(e):
-        return f"greatest(least(cast(floor((({e})+180.0)/360.0*{n}) as bigint), {nmax}), 0)"
+        clamp = f"greatest(least(cast(floor((({e})+180.0)/360.0*{n}) as bigint), {nmax}), 0)"
+        return f"(CASE WHEN ({e}) IS NULL OR isnan({e}) THEN NULL ELSE {clamp} END)"
 
     def iy(e):
-        return f"greatest(least(cast(floor((({e})+90.0)/180.0*{n}) as bigint), {nmax}), 0)"
+        clamp = f"greatest(least(cast(floor((({e})+90.0)/180.0*{n}) as bigint), {nmax}), 0)"
+        return f"(CASE WHEN ({e}) IS NULL OR isnan({e}) THEN NULL ELSE {clamp} END)"
 
     return f"""
 SELECT i.*, cast({res} as bigint)*{cells.RES_SHIFT} + gx.ix*{cells.IX_SHIFT} + gy.iy AS tile

@@ -326,20 +326,25 @@ def _split_overlap_worklist(segs):
         new = []
         for i, (cur, ci) in enumerate(segs):
             if i < len(segs) - 1 and cur[-1] > segs[i + 1][0][0]:
-                found = True
                 split_end = segs[i + 1][0][0] - 1.0
                 mask = cur <= split_end
                 head, hi = cur[mask], ci[mask]
                 tail, ti = cur[~mask], ci[~mask]
-                if len(head):
-                    new.append((head, hi))
-                if len(tail):
-                    if len(head) == 0:
-                        # reference livelock state: no head to emit and
-                        # the tail re-sorts into the same position
-                        new.extend(segs[i:])
-                        return new
-                    new.extend([(tail, ti)] + segs[i + 1 :])
+                if len(head) == 0:
+                    # reference livelock state: every point of cur is
+                    # past the boundary, so there is no head to emit
+                    # and the tail would re-sort into the same slot —
+                    # the reference spins forever here. Freeze ONLY
+                    # this pair (keep cur whole, no progress flag) and
+                    # keep scanning: later segments still split
+                    # normally (r6 review — the old early-return froze
+                    # the entire remaining worklist).
+                    new.append((cur, ci))
+                    continue
+                found = True
+                new.append((head, hi))
+                # tail is never empty here: cur[-1] > split_end
+                new.extend([(tail, ti)] + segs[i + 1 :])
                 break
             new.append((cur, ci))
         segs = new
