@@ -159,11 +159,15 @@ def main() -> None:
     sections.append(
         (
             "ANN: IVF list scan + exact re-rank (label quantizer)",
-            "Verify: (1) centroid table rides a BroadcastExchange (at "
-            "sqrt(N) lists it stays a broadcast even at 10^12 vectors); "
-            "(2) every vector joins only its assigned list — the candidate "
-            "join is an equi-join on list_id; (3) re-rank is a window "
-            "row_number per probe, JVM-side cosine.",
+            "Verify (r6 shape): (1) ONE corpus scan, map-only to the "
+            "kernel — assignment is an inlined greatest() expression, "
+            "probed-list membership an isin filter, and the per-list "
+            "probe matrices ride an sc.broadcast read inside "
+            "MapInPandas (no BroadcastExchange, no list_id join at "
+            "all); (2) the only Exchange is the final per-probe top-k "
+            "window; (3) at 10^12 vectors list_id becomes the shuffle "
+            "key only if the probe payload outgrows the broadcast "
+            "(documented switch-over in operators/ann.py).",
             plan_of(ann_ivf_topk(emb)),
         )
     )
