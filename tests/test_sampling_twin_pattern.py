@@ -67,6 +67,28 @@ def test_fds_closed_form_matches_kernel(n):
     assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
 
 
+def expected_density_line(n: int) -> np.ndarray:
+    """Closed form of densityBasedSampling(eps=10.5, min_pts=1,
+    max_neighbors=15) on the 1 m line: counts = min(i,10)+min(n-1-i,10)
+    +1; tier-2 keeps i%3==0, tier-3 keeps i%10==0; keep-all tier fires
+    only at n=1 where the closed form agrees anyway; pass 2 provably
+    never fires (every dropped point's >= 11-wide index ball holds a
+    kept point — see q_gps_density_sampling's docstring)."""
+    i = np.arange(n)
+    cnt = np.minimum(i, 10) + np.minimum(n - 1 - i, 10) + 1
+    return ((cnt <= 15) & (i % 3 == 0)) | ((cnt > 15) & (i % 10 == 0))
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 11, 12, 15, 21, 26, 31, 100, 176, 200, 313])
+def test_density_closed_form_matches_kernel(n):
+    from util_gis_spark.operators.sampling import np_density_based_sampling
+
+    xy = np.stack([np.arange(n, dtype=float), np.zeros(n)], axis=1)
+    got = np_density_based_sampling(xy, 10.5, 1, 15)
+    want = expected_density_line(n)
+    assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
+
+
 def test_fixture_builder_matches_independent_geometry(spark, sf_dir):
     """The Spark fixture builder must produce the exact geometry the
     closed forms were derived for (per device, positions keyed by the

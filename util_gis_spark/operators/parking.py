@@ -101,15 +101,20 @@ def np_filter_parking_by_time_window(
         return keep
     t0, t1 = ts_s[0], ts_s[-1]
     step = window_s / 2.0
-    start = t0
-    while start <= t1:
+    # window start = t0 + k*step computed per index, NOT accumulated
+    # (r6: `start += step` drifts ~1 ulp per iteration for fractional
+    # t0, which would make the window edges diverge from the SQL twin's
+    # t0 + k*step form; identical for whole-second fixtures)
+    k = 0
+    while t0 + k * step <= t1:
+        start = t0 + k * step
         sel = (ts_s >= start) & (ts_s < start + window_s)
         idx = np.flatnonzero(sel)
         if len(idx) >= min_points:
             wx, wy = x[idx], y[idx]
             if (wx.max() - wx.min() <= max_range_m) and (wy.max() - wy.min() <= max_range_m):
                 keep[idx] = False
-        start += step
+        k += 1
     return keep
 
 

@@ -177,3 +177,27 @@ def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -
     from .grouped import grouped_apply
 
     return grouped_apply(df_projected, group_cols, run, schema)
+
+
+def density_based_sampling(
+    df_projected: DataFrame,
+    epsilon: float,
+    min_pts: int,
+    max_neighbors: int,
+    group_cols=("device_id",),
+) -> DataFrame:
+    """DataFrame form of densityBasedSampling (G:7568-7700): keep the
+    density-tiered subset of each trajectory (np_density_based_sampling
+    over (ts, point_id)-sorted x/y)."""
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, _secs = sorted_with_secs(pdf)
+        mask = np_density_based_sampling(
+            pdf[["x", "y"]].to_numpy(np.float64), epsilon, min_pts, max_neighbors
+        )
+        return pdf.loc[mask]
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)

@@ -420,6 +420,112 @@ def q_gps_distance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_density_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """densityBasedSampling (G:7568-7700) on a 1 m-spaced line track
+    (x = i, y = 0) with eps=10.5 / min_pts=1 / max_neighbors=15;
+    oracle = the exact closed form of the algorithm on this geometry:
+    counts(i) = least(i,10) + least(n-1-i,10) + 1 (self included), so
+    tier-2 (counts <= 15) is i <= 4 or i >= n-5 keeping i%3==0, tier-3
+    keeps i%10==0, and the keep-all tier (counts < 2) never fires.
+    Pass 2 (force-keep dropped points with < min_pts kept eps-
+    neighbors) provably never fires at min_pts=1: every dropped
+    point's index ball (width >= 11) contains a kept point — 0 or a
+    multiple of 3 in the head/tail tier-2 strips, a tier-3 multiple of
+    10 in the interior (two multiples of 10 fit a 21-window and the
+    5-wide tail strip can swallow at most one). The differential test
+    (tests/test_sampling_twin_pattern.py) re-proves kernel == closed
+    form at every n. NOT in the driver catalogue yet — rotation-ready
+    for r7 (tests/test_rotation_ready.py runs the driver's compare)."""
+    from .operators.sampling import density_based_sampling
+
+    base = D.gps_points(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("device_id").orderBy("ts", "point_id")
+    track = base.select(
+        "device_id",
+        "ts",
+        "point_id",
+        (F.row_number().over(w) - 1).alias("i"),
+    ).select(
+        "device_id", "ts", "point_id", "i",
+        F.col("i").cast("double").alias("x"),
+        F.lit(0.0).alias("y"),
+    )
+    kept = density_based_sampling(track, epsilon=10.5, min_pts=1, max_neighbors=15)
+    return _kept_summary(kept)
+
+
+def q_gps_parking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterParkingByTimeWindow (G:7956-8065) over projected field
+    trajectories with 450-s idle stops (hold_s=450 lets whole 300-s
+    sliding windows sit inside a stop; windows mixing held and moving
+    points span >= 60 m and correctly fail the bbox gate); oracle = a
+    GENERIC SQL restatement of the sliding-window rule: a point at
+    q = sec - min_sec belongs to windows k in {floor(q/150)-1,
+    floor(q/150)} (k >= 0, k*150 <= max_sec - min_sec); windows with
+    >= 10 points and bbox <= 20 m on both axes delete their points.
+    Field timestamps are whole seconds, so the window edges are exact
+    in both engines. Rotation-ready for r7 (not in the catalogue)."""
+    from .operators.parking import filter_parking_by_time_window
+    from .operators.projection import project_trajectories
+
+    pts = project_trajectories(_held_field_points(spark, sf_dir, hold_s=450))
+    kept = filter_parking_by_time_window(pts)
+    return kept.groupBy("device_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("point_id").cast("long").alias("id_sum"),
+    )
+
+
+_DENSITY_LINE_SQL = """
+WITH idx AS ({idx})
+SELECT device_id, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(i) AS BIGINT) AS idx_sum
+FROM (
+  SELECT device_id, i,
+         least(i, 10) + least(n - 1 - i, 10) + 1 AS cnt
+  FROM idx
+)
+WHERE (cnt <= 15 AND i % 3 = 0) OR (cnt > 15 AND i % 10 = 0)
+GROUP BY device_id
+"""
+
+_PARKING_WINDOWS_SQL = """
+WITH proj AS ({proj}),
+base AS (
+  SELECT device_id, point_id, x, y,
+         epoch_us(ts)/1000000.0 AS sec
+  FROM proj WHERE ts IS NOT NULL
+),
+spans AS (
+  SELECT device_id, min(sec) AS t0, max(sec) AS t1 FROM base GROUP BY device_id
+),
+memb AS (
+  SELECT b.device_id, b.point_id, b.x, b.y,
+         CAST(floor((b.sec - s.t0) / 150.0) AS BIGINT) - f.d AS k
+  FROM base b
+  JOIN spans s USING (device_id)
+  CROSS JOIN (SELECT unnest([0, 1]) AS d) f
+  WHERE CAST(floor((b.sec - s.t0) / 150.0) AS BIGINT) - f.d >= 0
+    AND (CAST(floor((b.sec - s.t0) / 150.0) AS BIGINT) - f.d) * 150.0 <= s.t1 - s.t0
+    AND b.sec >= s.t0 + (CAST(floor((b.sec - s.t0) / 150.0) AS BIGINT) - f.d) * 150.0
+    AND b.sec <  s.t0 + (CAST(floor((b.sec - s.t0) / 150.0) AS BIGINT) - f.d) * 150.0 + 300.0
+),
+parked AS (
+  SELECT device_id, k FROM memb GROUP BY device_id, k
+  HAVING count(*) >= 10 AND max(x) - min(x) <= 20.0 AND max(y) - min(y) <= 20.0
+),
+deleted AS (
+  SELECT DISTINCT m.device_id, m.point_id
+  FROM memb m JOIN parked p ON m.device_id = p.device_id AND m.k = p.k
+)
+SELECT b.device_id, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(b.point_id) AS BIGINT) AS id_sum
+FROM (SELECT DISTINCT device_id, point_id FROM base) b
+LEFT JOIN deleted d ON b.device_id = d.device_id AND b.point_id = d.point_id
+WHERE d.point_id IS NULL
+GROUP BY b.device_id
+"""
+
+
 def q_polygon_time_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enter/exit intervals of trajectories vs the polygon layer
     (splitPolygonTimeRanges G:8550-8668)."""
@@ -560,18 +666,20 @@ def q_gps_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_density_stats(pts)
 
 
-def _held_field_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field trajectories with synthetic parking stops: the first 150 s
-    of every 1000-s block hold a position ~60 m WEST of the block's
-    first point (a machine idling at the field edge — the offset keeps
-    working passes out of the 10 m parking neighborhood, otherwise the
-    reference's compact-bbox test correctly rejects the cloud). Same
-    derivation exists in SQL (_HELD_SQL)."""
+def _held_field_points(spark: SparkSession, sf_dir: str, hold_s: int = 150) -> DataFrame:
+    """Field trajectories with synthetic parking stops: the first
+    `hold_s` seconds of every 1000-s block hold a position ~60 m WEST
+    of the block's first point (a machine idling at the field edge —
+    the offset keeps working passes out of the 10 m parking
+    neighborhood, otherwise the reference's compact-bbox test
+    correctly rejects the cloud). Same derivation exists in SQL
+    (_held_sql). hold_s=450 makes whole 300-s sliding windows fit
+    inside a stop — the regime filterParkingByTimeWindow needs."""
     pts = D.field_trajectories(spark, sf_dir)
     s = F.col("ts").cast("long")
     blk = F.floor(s / 1000)
     w = Window.partitionBy("device_id", blk).orderBy("ts", "point_id")
-    hold = (s % 1000) < 150
+    hold = (s % 1000) < hold_s
     return (
         pts.withColumn("_flon", F.first("lon").over(w) - 0.0007)
         .withColumn("_flat", F.first("lat").over(w))
@@ -581,10 +689,11 @@ def _held_field_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HELD_SQL = """
+def _held_sql(src: str, hold_s: int = 150) -> str:
+    return f"""
 SELECT device_id, point_id, ts,
-       CASE WHEN (epoch_us(ts)//1000000) % 1000 < 150 THEN flon - 0.0007 ELSE lon END AS lon,
-       CASE WHEN (epoch_us(ts)//1000000) % 1000 < 150 THEN flat ELSE lat END AS lat
+       CASE WHEN (epoch_us(ts)//1000000) % 1000 < {hold_s} THEN flon - 0.0007 ELSE lon END AS lon,
+       CASE WHEN (epoch_us(ts)//1000000) % 1000 < {hold_s} THEN flat ELSE lat END AS lat
 FROM (
   SELECT *,
          first_value(lon) OVER w AS flon,
@@ -1132,7 +1241,7 @@ def oracles() -> dict[str, str]:
     pol = {"pol": D.POLYGONS_SQL}
     hv = haversine_sql
     field_proj = proj_mod.project_trajectories_sql(D.FIELD_TRAJ_SQL)
-    held_proj = proj_mod.project_trajectories_sql(_HELD_SQL.format(src=D.FIELD_TRAJ_SQL))
+    held_proj = proj_mod.project_trajectories_sql(_held_sql(D.FIELD_TRAJ_SQL))
 
     knn_body = f"""
 SELECT probe_id, nearest_id, round(dist_m, 3) AS dist_m FROM (
@@ -1362,6 +1471,17 @@ SELECT device_id, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(i) AS BIGINT) AS 
 FROM idx WHERE i % 10 = 0
 GROUP BY device_id
 """,
+        # rotation-ready rows (NOT in the 50-key catalogue yet;
+        # gate-checked by tests/test_rotation_ready.py with the
+        # driver's compare — r7 rotation candidates)
+        "gps_density_sampling": _DENSITY_LINE_SQL.format(
+            idx=_SAMPLING_IDX_SQL.format(src=D.GPS_POINTS_SQL)
+        ),
+        "gps_parking_windows": _PARKING_WINDOWS_SQL.format(
+            proj=proj_mod.project_trajectories_sql(
+                _held_sql(D.FIELD_TRAJ_SQL, hold_s=450)
+            )
+        ),
         "gps_grid_density": f"""
 WITH proj AS ({field_proj}),
 base AS (SELECT device_id, min(x) AS minx, min(y) AS miny FROM proj GROUP BY device_id),
