@@ -230,6 +230,30 @@ class TestAnnIvf:
             assert len(sims) <= 3
             assert sims == sorted(sims, reverse=True)
 
+    def test_probe_transports_identical(self, spark, sf_dir):
+        """The join and broadcast probe transports must produce
+        identical rows — same matrices, same ordered-fold kernel, only
+        the shipping differs."""
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import ann_ivf_topk
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        key = lambda r: (r["probe_id"], r["neighbor_id"], r["list_id"], r["cos_sim"])
+        jn = sorted(key(r) for r in ann_ivf_topk(emb, probe_transport="join").collect())
+        bcast_df = ann_ivf_topk(emb, probe_transport="broadcast")
+        bc = sorted(key(r) for r in bcast_df.collect())
+        bcast_df.probes_bc.destroy()
+        assert jn == bc and jn
+
+    def test_probe_transport_validated(self, spark, sf_dir):
+        import pytest
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import ann_ivf_topk
+
+        with pytest.raises(ValueError, match="probe_transport"):
+            ann_ivf_topk(D.load(spark, sf_dir, "embeddings"), probe_transport="carrier-pigeon")
+
 
 class TestResPlanner:
     def test_pick_res_scales_with_polygon_size(self):

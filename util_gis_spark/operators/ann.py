@@ -243,22 +243,27 @@ def ann_lsh_topk(
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
-def _list_score_kernel(cand: DataFrame, probes_bc) -> DataFrame:
-    """(probe_id, neighbor_id, list_id, cos_raw) from NARROW candidate
-    rows (vec_id, v, list_id): per (batch, list) the list's probe
-    matrix — read from the task broadcast `probes_bc` (dict list_id ->
-    (pids int64[], P float64[n_probes, dim]), one executor-wide copy)
-    — scores every candidate with the same ascending-d ordered fold as
-    _cos_expr, so each double is bit-identical to the pair-at-a-time
-    HOF form. Self-pairs (probe_id == vec_id) are excluded like the
-    join filter was.
+def _list_score_kernel(cand: DataFrame, probes_bc=None) -> DataFrame:
+    """(probe_id, neighbor_id, list_id, cos_raw) from candidate rows:
+    per (batch, list) the list's probe matrix scores every candidate
+    with the same ascending-d ordered fold as _cos_expr, so each
+    double is bit-identical to the pair-at-a-time HOF form. Self-pairs
+    (probe_id == vec_id) are excluded like the join filter was.
 
-    r6 (ADVICE r5 #3): the previous form attached the matrix as a
-    nested `_probes` COLUMN via a broadcast join, which duplicated it
-    onto every candidate row through the Arrow boundary — shipped
-    bytes scaled as candidates x probes-per-list x dim, rivaling the
-    pair form it replaced at high probe density. The broadcast
-    variable keeps candidate rows at id + vector + list id."""
+    Two probe transports (see ann_ivf_topk for the measured tradeoff):
+
+    - ``probes_bc=None`` (join form): `cand` carries the list's probe
+      matrix as a nested `_probes array<struct<probe_id, pv>>` column
+      attached by a broadcast join. The matrix is duplicated onto
+      every candidate row through the Arrow boundary — shipped bytes
+      scale as candidates x probes-per-list x dim (ADVICE r5 #3) —
+      but the plan stays fully lazy and needs no Python-broadcast
+      distribution.
+    - ``probes_bc`` set (broadcast form): `cand` stays NARROW
+      (vec_id, v, list_id); the matrices (dict list_id ->
+      (pids int64[], P float64[n_probes, dim])) ship once per
+      executor via sc.broadcast and are read inside the kernel;
+      candidates in lists no probe ranked are dropped here."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -273,17 +278,22 @@ def _list_score_kernel(cand: DataFrame, probes_bc) -> DataFrame:
     )
 
     def run(batches):
-        pmap = probes_bc.value
+        pmap = probes_bc.value if probes_bc is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out_p, out_n, out_l, out_c = [], [], [], []
             for lid, idx in pdf.groupby("list_id", sort=False).indices.items():
-                got = pmap.get(int(lid))
-                if got is None:
-                    continue
-                pids, P = got
                 sub = pdf.iloc[idx]
+                if pmap is not None:
+                    got = pmap.get(int(lid))
+                    if got is None:
+                        continue
+                    pids, P = got
+                else:
+                    prows = sub["_probes"].iloc[0]
+                    pids = np.array([int(r["probe_id"]) for r in prows], dtype=np.int64)
+                    P = np.vstack([np.asarray(r["pv"], dtype=np.float64) for r in prows])
                 B = np.vstack(sub["v"].to_numpy()).astype(np.float64)
                 cids = sub["vec_id"].to_numpy(np.int64)
                 npb, dim = P.shape
@@ -312,7 +322,8 @@ def _list_score_kernel(cand: DataFrame, probes_bc) -> DataFrame:
                     }
                 )
 
-    return cand.select("vec_id", "v", "list_id").mapInPandas(run, schema=schema)
+    cols = ["vec_id", "v", "list_id"] + ([] if probes_bc is not None else ["_probes"])
+    return cand.select(*cols).mapInPandas(run, schema=schema)
 
 
 def _cos_kernel(pairs: DataFrame, carry: tuple = ()) -> DataFrame:
@@ -429,6 +440,7 @@ def ann_ivf_topk(
     k: int = 3,
     nprobe: int = 3,
     centroids: list[tuple[int, list[float]]] | None = None,
+    probe_transport: str = "join",
 ) -> DataFrame:
     """IVF top-k: coarse-quantize every vector to its max-dot centroid
     list, probe the top `nprobe` lists per query vector, exact-cosine
@@ -440,7 +452,29 @@ def ann_ivf_topk(
     DuckDB twin. Pass kmeans_centroids(...) output for the production
     quantizer (sampled k-means, ~sqrt(N) lists at scale); the list
     scan and re-rank are identical either way — the centroid table is
-    a broadcast, the list id is the shuffle key."""
+    a broadcast, the list id is the shuffle key.
+
+    `probe_transport` picks how the per-list probe matrices reach the
+    scoring kernel; both produce bit-identical rows:
+
+    - ``"join"`` (default): attach each list's matrix as a nested
+      `_probes` column via a broadcast join. The matrix is duplicated
+      per candidate row through Arrow — shipped bytes scale as
+      candidates x probes-per-list x dim — but the plan stays lazy
+      and avoids Python-broadcast distribution entirely. Measured
+      decisively faster at bench scale (500 probes / 50k vectors /
+      25 lists, local[32]): a fresh sc.broadcast costs ~30-45 s of
+      cold per-worker distribution (cold 44.7 s vs warm 3.1 s, same
+      pmap, same job), dwarfing the ~25 MB of per-row duplication.
+    - ``"broadcast"``: candidate rows stay narrow (id + vector +
+      list id); matrices ship once per executor via sc.broadcast and
+      are read inside the kernel. This is the high-probe-density
+      scale shape — per-row duplication grows with probes-per-list
+      while the broadcast cost is flat and amortizes over many tasks
+      per executor on a long-lived cluster — but it runs probe
+      ranking EAGERLY (toPandas) at call time, and the returned
+      DataFrame carries the broadcast as `.probes_bc` for callers to
+      `.destroy()` after consuming."""
     e = embeddings_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -513,42 +547,51 @@ def ann_ivf_topk(
     probes = ranked.filter(F.col("_rk") <= nprobe).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "list_id"
     )
-    # list scan: candidate rows stay NARROW (vec_id, v, list_id) and
-    # ship through Arrow once; the per-list probe matrices ship ONCE
-    # PER EXECUTOR via sc.broadcast, read inside the kernel (the probe
-    # payload is nprobe * n_probes * (dim * 8 + 8) B total — e.g.
-    # 500 probes x 3 lists x 64 dims ~ 780 KB — vs the pair form's
-    # (pair x both arrays) rows: ~3 GB at 500 probes x 50k vectors).
-    # Scoring is the ordered-fold kernel (bit-identical doubles to the
-    # _cos_expr HOF, parity-tested); rounding stays JVM F.round. The
-    # probe ingestion is Arrow (toPandas) and the driver-side matrix is
-    # the same size the old broadcast-join hash table was.
-    import numpy as np
+    # list scan: the per-list probe matrices reach the ordered-fold
+    # kernel (bit-identical doubles to the _cos_expr HOF,
+    # parity-tested) via the transport chosen above; rounding stays
+    # JVM F.round either way. Both transports avoid materializing
+    # (pair x both arrays) rows — the pre-r5 pair form pushed ~3 GB
+    # through Arrow at 500 probes x 50k vectors.
+    if probe_transport == "join":
+        # lazy: inner broadcast join drops candidates in unprobed
+        # lists; each candidate row carries its list's full matrix
+        # through Arrow (the honest cost of this form — see docstring)
+        plist = probes.groupBy("list_id").agg(
+            F.collect_list(F.struct("probe_id", "pv")).alias("_probes")
+        )
+        cand = assigned.join(F.broadcast(plist), "list_id")
+        probes_bc = None
+    elif probe_transport == "broadcast":
+        import numpy as np
 
-    ppdf = probes.toPandas()
-    if len(ppdf) == 0:
+        ppdf = probes.toPandas()
+        if len(ppdf) == 0:
+            spark = embeddings_df.sparkSession
+            return spark.createDataFrame(
+                [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
+            )
+        pmap = {}
+        for lid, idx in ppdf.groupby("list_id", sort=False).indices.items():
+            sub = ppdf.iloc[idx]
+            pmap[int(lid)] = (
+                sub["probe_id"].to_numpy(np.int64),
+                np.vstack(sub["pv"].to_numpy()).astype(np.float64),
+            )
         spark = embeddings_df.sparkSession
-        return spark.createDataFrame(
-            [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
-        )
-    pmap = {}
-    for lid, idx in ppdf.groupby("list_id", sort=False).indices.items():
-        sub = ppdf.iloc[idx]
-        pmap[int(lid)] = (
-            sub["probe_id"].to_numpy(np.int64),
-            np.vstack(sub["pv"].to_numpy()).astype(np.float64),
-        )
-    spark = embeddings_df.sparkSession
-    probes_bc = spark.sparkContext.broadcast(pmap)
-    # same semantics as the old inner broadcast join: candidates in
-    # lists no probe ranked are dropped before the kernel
-    cand = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
-    # NOTE: building the probe matrices runs Spark jobs EAGERLY here
-    # (probe ranking + toPandas), and the broadcast lives until the
-    # caller destroys it — the returned DataFrame carries it as
-    # `.probes_bc` (the `.sig_cache` convention) so sessions looping
-    # over many probe sets can `.probes_bc.destroy()` after consuming;
-    # a leaked one is a few hundred KB pickled on the driver.
+        probes_bc = spark.sparkContext.broadcast(pmap)
+        # same semantics as the join form's inner join: candidates in
+        # lists no probe ranked are dropped before the kernel. When
+        # every list is probed (common at moderate list counts) the
+        # filter would keep every row while still paying one extra
+        # evaluation of the giant assignment expression per row, so it
+        # is skipped; the kernel drops unknown lists either way.
+        if len(pmap) < len(cent_rows):
+            cand = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
+        else:
+            cand = assigned
+    else:
+        raise ValueError(f"probe_transport must be 'join' or 'broadcast', got {probe_transport!r}")
     scored = _list_score_kernel(cand, probes_bc).select(
         "probe_id",
         "neighbor_id",
@@ -557,7 +600,13 @@ def ann_ivf_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     out = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
-    out.probes_bc = probes_bc
+    if probes_bc is not None:
+        # the broadcast lives until the caller destroys it — carried as
+        # `.probes_bc` (the `.sig_cache` convention) so sessions
+        # looping over many probe sets can `.probes_bc.destroy()`
+        # after consuming; a leaked one is a few hundred KB pickled on
+        # the driver.
+        out.probes_bc = probes_bc
     return out
 
 
