@@ -49,6 +49,9 @@ def main() -> None:
             if transport == "broadcast":
                 out.probes_bc.destroy()
             best[transport] = min(best.get(transport, 1e9), el)
+        # enforce the stated parity contract — a timing comparison of
+        # transports that computed different results is meaningless
+        assert len(set(rows.values())) == 1, f"transport row counts diverged: {rows}"
         loads.append(round(os.getloadavg()[0], 2))
     print(
         json.dumps(

@@ -159,15 +159,17 @@ def main() -> None:
     sections.append(
         (
             "ANN: IVF list scan + exact re-rank (label quantizer)",
-            "Verify (r6 shape): (1) ONE corpus scan, map-only to the "
-            "kernel — assignment is an inlined greatest() expression, "
-            "probed-list membership an isin filter, and the per-list "
-            "probe matrices ride an sc.broadcast read inside "
-            "MapInPandas (no BroadcastExchange, no list_id join at "
-            "all); (2) the only Exchange is the final per-probe top-k "
-            "window; (3) at 10^12 vectors list_id becomes the shuffle "
-            "key only if the probe payload outgrows the broadcast "
-            "(documented switch-over in operators/ann.py).",
+            "Verify (r6 join-default shape): (1) ONE corpus scan with "
+            "assignment inlined as a greatest() expression (no "
+            "Exchange to assign); (2) the per-list probe matrices "
+            "attach via a BroadcastHashJoin on list_id (inner — "
+            "unprobed lists drop at the join) feeding MapInPandas; "
+            "(3) the only shuffle Exchange is the final per-probe "
+            "top-k window; (4) probe_transport='broadcast' replaces "
+            "the join with an isin filter + sc.broadcast read inside "
+            "the kernel — the high-probe-density shape; the tradeoff "
+            "and measured crossover live in operators/ann.py and "
+            "scripts/bench_ivf_transport.py.",
             plan_of(ann_ivf_topk(emb)),
         )
     )

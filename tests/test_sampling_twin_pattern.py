@@ -96,9 +96,10 @@ def test_fixture_builder_matches_independent_geometry(spark, sf_dir):
     from util_gis_spark import queries as Q
 
     sf = sf_dir
-    for zig, ref in ((True, zigzag_xy), (False, cluster_xy)):
+    line_xy = lambda n: np.stack([np.arange(n, dtype=float), np.zeros(n)], axis=1)
+    for shape, ref in (("zigzag", zigzag_xy), ("clusters", cluster_xy), ("line", line_xy)):
         pdf = (
-            Q._sampling_track(spark, sf, zigzag=zig)
+            Q._sampling_track(spark, sf, shape)
             .toPandas()
             .sort_values(["device_id", "i"])
         )

@@ -460,12 +460,19 @@ def ann_ivf_topk(
     - ``"join"`` (default): attach each list's matrix as a nested
       `_probes` column via a broadcast join. The matrix is duplicated
       per candidate row through Arrow — shipped bytes scale as
-      candidates x probes-per-list x dim — but the plan stays lazy
-      and avoids Python-broadcast distribution entirely. Measured
-      decisively faster at bench scale (500 probes / 50k vectors /
-      25 lists, local[32]): a fresh sc.broadcast costs ~30-45 s of
-      cold per-worker distribution (cold 44.7 s vs warm 3.1 s, same
-      pmap, same job), dwarfing the ~25 MB of per-row duplication.
+      candidates x probes-per-list x (dim x 8 + 8) B, which is NOT
+      small: ~625 MB at 500 probes / nprobe 3 / 25 lists / 20k
+      vectors / 64 dims (60 probes per list x 520 B x 20k rows) —
+      but the plan stays lazy and avoids Python-broadcast
+      distribution entirely. Measured decisively faster anyway at
+      that scale on local[32] (~12 s warm, full op): a fresh
+      sc.broadcast costs ~30-45 s of cold per-worker distribution
+      (cold 44.7 s vs warm 3.1 s, same pmap, same job), and every
+      call creates a fresh broadcast id, so it never warms across
+      calls. The crossover favors "broadcast" as probes-per-list or
+      candidate count grow the duplication faster than the flat
+      distribution cost (scripts/bench_ivf_transport.py re-measures
+      the pair).
     - ``"broadcast"``: candidate rows stay narrow (id + vector +
       list id); matrices ship once per executor via sc.broadcast and
       are read inside the kernel. This is the high-probe-density
@@ -475,6 +482,10 @@ def ann_ivf_topk(
       ranking EAGERLY (toPandas) at call time, and the returned
       DataFrame carries the broadcast as `.probes_bc` for callers to
       `.destroy()` after consuming."""
+    # pure parameter check — validate BEFORE the eager corpus jobs
+    # below (dim probe, centroid aggregation), so a typo costs nothing
+    if probe_transport not in ("join", "broadcast"):
+        raise ValueError(f"probe_transport must be 'join' or 'broadcast', got {probe_transport!r}")
     e = embeddings_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -562,15 +573,20 @@ def ann_ivf_topk(
         )
         cand = assigned.join(F.broadcast(plist), "list_id")
         probes_bc = None
-    elif probe_transport == "broadcast":
+    else:  # "broadcast" — validated at entry
         import numpy as np
 
         ppdf = probes.toPandas()
         if len(ppdf) == 0:
             spark = embeddings_df.sparkSession
-            return spark.createDataFrame(
+            out = spark.createDataFrame(
                 [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
             )
+            # honor the .probes_bc contract on the empty path too — a
+            # caller looping over probe sets calls .destroy() on every
+            # returned frame, including ones that matched nothing
+            out.probes_bc = spark.sparkContext.broadcast({})
+            return out
         pmap = {}
         for lid, idx in ppdf.groupby("list_id", sort=False).indices.items():
             sub = ppdf.iloc[idx]
@@ -590,8 +606,6 @@ def ann_ivf_topk(
             cand = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
         else:
             cand = assigned
-    else:
-        raise ValueError(f"probe_transport must be 'join' or 'broadcast', got {probe_transport!r}")
     scored = _list_score_kernel(cand, probes_bc).select(
         "probe_id",
         "neighbor_id",

@@ -328,7 +328,7 @@ def q_gps_has_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return has_time_overlap(ranges)
 
 
-def _sampling_track(spark: SparkSession, sf_dir: str, zigzag: bool) -> DataFrame:
+def _sampling_track(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
     """Deterministic planar tracks for the sampling operators, keyed by
     the per-device point index i (row_number over (ts, point_id) on the
     GPS fixture — the exact order sorted_with_secs re-derives in the
@@ -338,26 +338,37 @@ def _sampling_track(spark: SparkSession, sf_dir: str, zigzag: bool) -> DataFrame
     (tests/test_sampling_twin_pattern.py proves the closed forms equal
     the kernels for every n, not just the fixture's):
 
-    - zigzag=True (simplify_by_angle, G:5269-5411): serpentine of
+    - "line" (density_based_sampling, G:7568-7700): 1 m-spaced
+      straight line (x = i, y = 0); see q_gps_density_sampling for
+      the counts/tier closed form.
+    - "zigzag" (simplify_by_angle, G:5269-5411): serpentine of
       0.6 m edges (>= MIN_EDGE_LEN 0.5, so no noise skips) turning 90
       deg every 3rd edge. Anchor walk: straight points accumulate 0.6
       then 1.2 > MAX_EDGE_LEN 1.0 (kept, i%3==2), corners turn 90 >
       MIN_ANGLE 10 (kept, i%3==0), the point after a kept anchor has
       acc 0.6 and turn 0 (dropped, i%3==1) -> interior keep-mask is
       exactly i % 3 != 1, endpoints always kept.
-    - zigzag=False (fast_distance_sampling, G:7786-7860): clusters of
+    - "clusters" (fast_distance_sampling, G:7786-7860): clusters of
       20 points oscillating 0.1 m in y (< FDS_MIN_DIST 0.5 from any
       kept point in the cluster), clusters 0.6 m apart (>= 0.5).
       Cluster entries are distance-keeps, the skip counter (1 per
       int(1/0.1)=10) fires once mid-cluster -> keep-mask is exactly
       i % 10 == 0.
     """
+    if shape not in ("line", "zigzag", "clusters"):
+        raise ValueError(f"unknown sampling-track shape {shape!r}")
     pts = D.gps_points(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("device_id").orderBy("ts", "point_id")
     base = pts.select(
         "device_id", "ts", "point_id", (F.row_number().over(w) - 1).alias("i")
     )
-    if not zigzag:
+    if shape == "line":
+        return base.select(
+            "device_id", "ts", "point_id", "i",
+            F.col("i").cast("double").alias("x"),
+            F.lit(0.0).alias("y"),
+        )
+    if shape == "clusters":
         return base.select(
             "device_id",
             "ts",
@@ -407,7 +418,7 @@ def q_gps_simplify_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form keep-mask (see _sampling_track) restated in SQL."""
     from .operators.sampling import simplify_by_angle
 
-    return _kept_summary(simplify_by_angle(_sampling_track(spark, sf_dir, zigzag=True)))
+    return _kept_summary(simplify_by_angle(_sampling_track(spark, sf_dir, "zigzag")))
 
 
 def q_gps_distance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +427,7 @@ def q_gps_distance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import fast_distance_sampling
 
     return _kept_summary(
-        fast_distance_sampling(_sampling_track(spark, sf_dir, zigzag=False))
+        fast_distance_sampling(_sampling_track(spark, sf_dir, "clusters"))
     )
 
 
@@ -438,18 +449,7 @@ def q_gps_density_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r7 (tests/test_rotation_ready.py runs the driver's compare)."""
     from .operators.sampling import density_based_sampling
 
-    base = D.gps_points(spark, sf_dir).filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("device_id").orderBy("ts", "point_id")
-    track = base.select(
-        "device_id",
-        "ts",
-        "point_id",
-        (F.row_number().over(w) - 1).alias("i"),
-    ).select(
-        "device_id", "ts", "point_id", "i",
-        F.col("i").cast("double").alias("x"),
-        F.lit(0.0).alias("y"),
-    )
+    track = _sampling_track(spark, sf_dir, "line")
     kept = density_based_sampling(track, epsilon=10.5, min_pts=1, max_neighbors=15)
     return _kept_summary(kept)
 
