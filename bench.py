@@ -345,7 +345,12 @@ def main() -> None:
                 emb_gen10, probe_filter=f"vec_id % {n_vecs_gen * 10 // 500} = 0"
             ).count()
 
-        run("ann_ivf_gen_10x", ann_ivf_gen10, reps=1)
+        # reps=2: at reps=1 this row read 125.5 s in the r6 artifact
+        # while the dedicated interleaved measurement of the SAME job
+        # (scripts/bench_ivf_transport.py 200000 2, quiet launch) put
+        # the join transport at 36.3 s — single-rep session-state
+        # inflation, the exact failure mode min-of-reps exists for.
+        run("ann_ivf_gen_10x", ann_ivf_gen10, reps=2)
 
     # --- headline tail placement (noise hardening, VERDICT r3 #7):
     # repeat the headline now that every other job has run; keep the
