@@ -283,3 +283,33 @@ class TestSafeBuffer:
         assert calculate_safe_buffer(5.0e5 + 100.0, 0.0, 5.1e5, 10.0, 500.0) == 90.0
         # pathological: floored at MIN_BUFFER_DISTANCE
         assert calculate_safe_buffer(5.0e5, 0.0, 5.1e5, 10.0, 500.0) == 1.0
+
+    def test_column_form_matches_scalar(self, spark):
+        """safe_buffer_expr is the exact same IEEE chain as the scalar
+        — bit-equality on branch-covering and irrational-ish inputs."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark.geo.gauss import calculate_safe_buffer, safe_buffer_expr
+
+        cases = [
+            (5.04e7, 4.3e6, 5.05e7, 4.4e6, 12.0),
+            (5.0e5 + 100.0, 0.0, 5.1e5, 10.0, 500.0),
+            (5.0e5, 0.0, 5.1e5, 10.0, 500.0),
+            (50_499_123.456789, 4_321_987.654321, 50_511_234.987654, 4_398_765.123456, 1.0e9),
+            (50_499_123.456789, -9_999_000.5, 50_511_234.987654, 4_398_765.123456, 0.25),
+        ]
+        df = spark.createDataFrame(
+            [(i, *c) for i, c in enumerate(cases)],
+            "i long, x_min double, y_min double, x_max double, y_max double, req double",
+        )
+        got = {
+            r["i"]: r["safe"]
+            for r in df.select(
+                "i",
+                safe_buffer_expr(
+                    F.col("x_min"), F.col("y_min"), F.col("x_max"), F.col("y_max"), F.col("req")
+                ).alias("safe"),
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == calculate_safe_buffer(*c), c

@@ -90,6 +90,31 @@ class TestDbscan:
         assert eps_minpts_preset(10) == (20.0, 10)
         assert dynamic_eps(3.0, 1.0) == pytest.approx(6.0)  # max(3.6, 6.0) vs 12
 
+    def test_column_forms_match_scalars(self, spark):
+        """dynamic_eps_expr / eps_minpts_preset_exprs are the exact
+        same chains as the scalars — bit-equality across every branch
+        (1.2w dominant, 6dt dominant, 4w cap; all three presets)."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark.operators.clustering import (
+            dynamic_eps_expr,
+            eps_minpts_preset_exprs,
+        )
+
+        cases = [(3.0, 1), (2.0, 5), (6.0, 10), (30.0, 1), (2.5, 60), (4.7, 3)]
+        df = spark.createDataFrame(cases, "w double, dt long")
+        eps_c, mp_c = eps_minpts_preset_exprs(F.col("dt"))
+        rows = df.select(
+            "w",
+            "dt",
+            dynamic_eps_expr(F.col("w"), F.col("dt").cast("double")).alias("eps"),
+            eps_c.alias("peps"),
+            mp_c.alias("pmp"),
+        ).collect()
+        for r in rows:
+            assert r["eps"] == dynamic_eps(r["w"], float(r["dt"])), (r["w"], r["dt"])
+            assert (r["peps"], r["pmp"]) == eps_minpts_preset(int(r["dt"]))
+
 
 class TestSampling:
     def test_simplify_straight_line_keeps_sparse(self):

@@ -10,7 +10,13 @@ import pytest
 
 from scripts.check_correctness import SF, compare_one, open_oracle
 
-READY = ["gps_density_sampling", "gps_parking_windows"]
+READY = [
+    "gps_density_sampling",
+    "gps_parking_windows",
+    "gps_safe_buffer",
+    "gps_dyn_eps",
+    "gps_polygon_range_points",
+]
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="gate SF dir missing")

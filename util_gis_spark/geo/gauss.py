@@ -221,6 +221,28 @@ def calculate_safe_buffer(
     return float(max(min(requested_m, SAFE_BUFFER_MARGIN * margin), MIN_BUFFER_DISTANCE))
 
 
+def safe_buffer_expr(x_min, y_min, x_max, y_max, requested_m):
+    """Column form of calculate_safe_buffer — the same min/clamp chain
+    over Column inputs (exact IEEE ops in the same order, so the
+    DuckDB least/greatest restatement is a bit-identical twin; pinned
+    scalar-vs-Column in tests/test_plots_and_windows.py). Inputs must
+    be non-null — least/greatest are NULL-SKIPPING in Spark and
+    DuckDB, so a NULL bound would silently drop a margin term instead
+    of poisoning the result (same caveat as geo/cells.py)."""
+    from pyspark.sql import functions as F
+
+    margin = F.least(
+        x_min - F.lit(GAUSS_X_MIN),
+        F.lit(GAUSS_X_MAX) - x_max,
+        y_min - F.lit(GAUSS_Y_MIN),
+        F.lit(GAUSS_Y_MAX) - y_max,
+    )
+    return F.greatest(
+        F.least(requested_m, F.lit(SAFE_BUFFER_MARGIN) * margin),
+        F.lit(MIN_BUFFER_DISTANCE),
+    )
+
+
 def unified_zone(lon_min: float, lon_max: float) -> int:
     """Zone of the batch center, the reference's unified-zone rule
     (G:12411-12422): whole trajectory projected in one zone to avoid

@@ -156,3 +156,30 @@ def eps_minpts_preset(interval_s: int) -> tuple[float, int]:
 def dynamic_eps(width: float, interval_s: float) -> float:
     """eps = min(max(1.2*width, 5*dt*1.2), 4*width) (G:8164-8193)."""
     return float(min(max(1.2 * width, 5.0 * interval_s * 1.2), 4.0 * width))
+
+
+def dynamic_eps_expr(width, interval_s):
+    """Column form of dynamic_eps, same multiplication order as the
+    scalar ((5.0*dt)*1.2 — left-assoc in Python, Spark and DuckDB), so
+    the SQL restatement is bit-identical. Inputs must be non-null
+    (least/greatest NULL-skip, see geo/cells.py)."""
+    from pyspark.sql import functions as F
+
+    return F.least(
+        F.greatest(F.lit(1.2) * width, F.lit(5.0) * interval_s * F.lit(1.2)),
+        F.lit(4.0) * width,
+    )
+
+
+def eps_minpts_preset_exprs(interval_s):
+    """Column form of eps_minpts_preset: (eps, min_pts) columns from a
+    whole-second interval column — the splitRoad preset ladder as a
+    CASE chain in both engines."""
+    from pyspark.sql import functions as F
+
+    i = interval_s
+    eps = F.when(i == 1, F.lit(11.0)).otherwise(F.lit(20.0))
+    min_pts = (
+        F.when(i == 1, F.lit(30)).when(i <= 5, F.lit(15)).otherwise(F.lit(10))
+    ).cast("int")
+    return eps, min_pts

@@ -476,6 +476,126 @@ def q_gps_parking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_safe_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculateSafeBuffer (G:5064-5143) driven by each device's Gauss
+    bbox over the projected field trajectories; requested distances
+    cycle small/moderate/huge by device_id % 3 so all three branches
+    fire on the fixture (floor to MIN_BUFFER_DISTANCE, passthrough,
+    0.9*margin clamp). Oracle = the same least/greatest chain over the
+    Krüger SQL twin's bbox — exact IEEE ops in the same order.
+    Rotation-ready for r7 (tests/test_rotation_ready.py)."""
+    from .geo.gauss import safe_buffer_expr
+    from .operators.projection import project_trajectories
+
+    proj = project_trajectories(D.field_trajectories(spark, sf_dir))
+    bbox = proj.groupBy("device_id").agg(
+        F.min("x").alias("x_min"),
+        F.min("y").alias("y_min"),
+        F.max("x").alias("x_max"),
+        F.max("y").alias("y_max"),
+    )
+    req = (
+        F.when(F.col("device_id") % 3 == 0, F.lit(0.5))
+        .when(F.col("device_id") % 3 == 1, F.lit(250.0))
+        .otherwise(F.lit(1.0e9))
+    )
+    return bbox.select(
+        "device_id",
+        req.alias("requested_m"),
+        F.round(
+            safe_buffer_expr(
+                F.col("x_min"), F.col("y_min"), F.col("x_max"), F.col("y_max"), req
+            ),
+            3,
+        ).alias("safe_m"),
+    )
+
+
+def q_gps_dyn_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic DBSCAN epsilon (G:8164-8193) and the splitRoad
+    eps/minPts presets (G:13767-13783) driven by each device's MODAL
+    report interval (the already-twinned G:3966-3975 rule) and a
+    per-device working width 2..6 m (device_id % 5 — widths under and
+    over the 6*dt crossover so every min/max branch fires). Oracle =
+    modal-interval twin + the same arithmetic/CASE chain with matched
+    multiplication order ((5.0*dt)*1.2). Rotation-ready for r7."""
+    from .operators.clustering import dynamic_eps_expr, eps_minpts_preset_exprs
+
+    modal = trajectory.modal_interval(
+        filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    )
+    w = F.lit(2.0) + (F.col("device_id") % 5)
+    dt = F.col("modal_interval_s").cast("double")
+    preset_eps, preset_minpts = eps_minpts_preset_exprs(F.col("modal_interval_s"))
+    return modal.select(
+        "device_id",
+        "modal_interval_s",
+        w.alias("width_m"),
+        F.round(dynamic_eps_expr(w, dt), 4).alias("eps_m"),
+        preset_eps.alias("preset_eps_m"),
+        preset_minpts.alias("preset_min_pts"),
+    )
+
+
+def q_gps_polygon_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getGaussPointsByPolygonTimeRange (G:8899-8925): project the
+    filtered trajectory to the Gauss plane and range-join it back to
+    its polygon enter/exit intervals (start <= ts <= end per device);
+    per (device, polygon) summary. The BETWEEN join is what's under
+    test — x/y don't enter the summary (the projection twin is already
+    driver-signed via gps_gauss_mileage), so the oracle is the
+    polygon_time_ranges twin + the same join. Rotation-ready for r7."""
+    from .operators.projection import project_trajectories
+    from .operators.ranges import points_in_time_range, polygon_time_ranges
+
+    pts = filters.filter_wgs84_points(D.gps_points(spark, sf_dir))
+    ranges = polygon_time_ranges(pts, D.polygons_wkt(spark, sf_dir))
+    joined = points_in_time_range(project_trajectories(pts), ranges)
+    return joined.groupBy("device_id", "polygon_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("point_id").cast("long").alias("id_sum"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_SAFE_BUFFER_SQL = """
+WITH proj AS ({proj}),
+bbox AS (
+  SELECT device_id, min(x) AS x_min, min(y) AS y_min,
+         max(x) AS x_max, max(y) AS y_max
+  FROM proj GROUP BY device_id
+)
+SELECT device_id,
+       CAST(CASE WHEN device_id % 3 = 0 THEN 0.5
+                 WHEN device_id % 3 = 1 THEN 250.0
+                 ELSE 1000000000.0 END AS DOUBLE) AS requested_m,
+       round(greatest(least(CAST(CASE WHEN device_id % 3 = 0 THEN 0.5
+                                      WHEN device_id % 3 = 1 THEN 250.0
+                                      ELSE 1000000000.0 END AS DOUBLE),
+                            0.9 * least(x_min - 500000.0, 64000000.0 - x_max,
+                                        y_min - (-10000000.0), 10000000.0 - y_max)),
+                      1.0), 3) AS safe_m
+FROM bbox
+"""
+
+_DYN_EPS_SQL = """
+SELECT device_id, modal_interval_s,
+       w AS width_m,
+       round(least(greatest(1.2 * w, 5.0 * dt * 1.2), 4.0 * w), 4) AS eps_m,
+       CAST(CASE WHEN modal_interval_s = 1 THEN 11.0 ELSE 20.0 END AS DOUBLE)
+         AS preset_eps_m,
+       CAST(CASE WHEN modal_interval_s = 1 THEN 30
+                 WHEN modal_interval_s <= 5 THEN 15 ELSE 10 END AS INTEGER)
+         AS preset_min_pts
+FROM (
+  SELECT device_id, modal_interval_s,
+         CAST(2.0 AS DOUBLE) + (device_id % 5) AS w,
+         CAST(modal_interval_s AS DOUBLE) AS dt
+  FROM ({modal})
+)
+"""
+
 _DENSITY_LINE_SQL = """
 WITH idx AS ({idx})
 SELECT device_id, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(i) AS BIGINT) AS idx_sum
@@ -1481,6 +1601,25 @@ GROUP BY device_id
             proj=proj_mod.project_trajectories_sql(
                 _held_sql(D.FIELD_TRAJ_SQL, hold_s=450)
             )
+        ),
+        "gps_safe_buffer": _SAFE_BUFFER_SQL.format(proj=field_proj),
+        "gps_dyn_eps": _with(
+            pts,
+            _DYN_EPS_SQL.format(
+                modal=trajectory.modal_interval_sql("SELECT * FROM fpts")
+            ),
+        ),
+        "gps_polygon_range_points": _with(
+            pts,
+            f"""
+SELECT p.device_id, r.polygon_id, count(*) AS n_points,
+       CAST(sum(p.point_id) AS BIGINT) AS id_sum,
+       min(p.ts) AS first_ts, max(p.ts) AS last_ts
+FROM fpts p
+JOIN ({ranges_mod.polygon_time_ranges_sql("SELECT * FROM fpts", D.POLYGONS_SQL)}) r
+  ON p.device_id = r.device_id AND p.ts BETWEEN r.start_ts AND r.end_ts
+GROUP BY p.device_id, r.polygon_id
+""",
         ),
         "gps_grid_density": f"""
 WITH proj AS ({field_proj}),
