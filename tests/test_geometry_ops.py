@@ -122,3 +122,32 @@ class TestDensitySampling:
         for i in np.flatnonzero(~keep):
             d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
             assert keep[(d2 <= 100.0)].sum() >= 5
+
+
+class TestWktParseRepairTemplates:
+    def test_case_templates_match_oracle_constants(self):
+        """Each wkt_parse_repair case template parses to exactly the
+        (type, n_geoms, n_points) constants the DuckDB oracle's CASE
+        table asserts — one literal instance per branch, including
+        both repair paths (missing body, parse throw) and NULL."""
+        from util_gis_spark.geo.geometry import wkt_to_4d_array_from_parsed
+
+        x, y = 37.0, 59.0
+        cases = {
+            0: (f"POLYGON (({x} {y}, {x+1} {y}, {x+1} {y+1}, {x} {y+1}, {x} {y}))",
+                "POLYGON", 1, 5),
+            1: ("POLYGON EMPTY", "EMPTY", 0, 0),
+            2: ("not a wkt at all", "EMPTY", 0, 0),
+            3: (f"POINT ({x} {y})", "POINT", 1, 1),
+            4: (f"LINESTRING ({x} {y}, {x+1} {y}, {x+2} {y+1})", "LINESTRING", 1, 3),
+            5: (None, "EMPTY", 0, 0),
+            6: (f"MULTIPOLYGON ((({x} {y}, {x+1} {y}, {x+1} {y+1}, {x} {y+1}, {x} {y})), "
+                f"(({x+5} {y}, {x+6} {y}, {x+6} {y+1}, {x+5} {y+1}, {x+5} {y})))",
+                "MULTIPOLYGON", 2, 10),
+            7: (f"POLYGON (({x} {y}, bad))", "EMPTY", 0, 0),
+        }
+        for cid, (wkt, want_type, want_geoms, want_pts) in cases.items():
+            parsed = parse_wkt(wkt)
+            arr = wkt_to_4d_array_from_parsed(parsed)
+            n_pts = sum(len(ring) for geom in arr for ring in geom)
+            assert (parsed[0], len(arr), n_pts) == (want_type, want_geoms, want_pts), cid

@@ -16,6 +16,8 @@ READY = [
     "gps_safe_buffer",
     "gps_dyn_eps",
     "gps_polygon_range_points",
+    "wkt_parse_repair",
+    "stream_sessions",
 ]
 
 

@@ -21,12 +21,26 @@ import numpy as np
 # dot made the pair-scanner silently re-pair digits into WRONG
 # coordinates instead of degrading (r4 review)
 _NUM = r"[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?"
-_PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
+_NUM_FULL_RE = re.compile(rf"^{_NUM}$")
 
 
 def _parse_ring(text: str) -> np.ndarray:
-    pts = _PAIR_RE.findall(text)
-    return np.array([[float(a), float(b)] for a, b in pts], dtype=np.float64)
+    """Comma-split coordinate list -> (N, 2). STRICT per pair: every
+    comma-separated element must be exactly two WKT numerals (parens
+    tolerated for MULTIPOINT's per-point form), else ValueError — so
+    parse_wkt degrades to EMPTY like the reference's throw-to-
+    EMPTY_GEOMETRY contract (G:11353-11358). The earlier findall
+    scanner silently DROPPED unparseable tokens, which let malformed
+    input through as a truncated ring instead of repairing to EMPTY
+    (and 'nan'/'inf' are rejected by the numeral grammar, which
+    plain float() would accept)."""
+    pts = []
+    for part in text.split(","):
+        toks = part.strip().strip("()").split()
+        if len(toks) != 2 or not all(_NUM_FULL_RE.match(t) for t in toks):
+            raise ValueError(f"bad WKT coordinate pair: {part.strip()!r}")
+        pts.append([float(toks[0]), float(toks[1])])
+    return np.array(pts, dtype=np.float64)
 
 
 def _split_top_level(body: str) -> list[str]:

@@ -559,6 +559,111 @@ def q_gps_polygon_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wkt_parse_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT source parse + degrade-to-EMPTY repair (G:11353-11358,
+    G:11402-11457) over a crafted mixed corpus: event_id % 8 cycles
+    valid POLYGON / POLYGON EMPTY / garbage / POINT / LINESTRING /
+    NULL / two-part MULTIPOLYGON / unparseable-number POLYGON, so
+    every parse branch and both repair paths (missing body, throw)
+    fire. The REAL parser classifies each string through one Arrow
+    kernel; the oracle restates the per-case expected (type, geoms,
+    points) — constants by construction, pinned per template against
+    the parser in tests/test_geometry_ops.py. Rotation-ready for
+    r7."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo.geometry import parse_wkt, wkt_to_4d_array_from_parsed
+
+    k = F.col("event_id")
+    x = (k % 100).cast("double")
+    y = ((k * 7) % 100).cast("double")
+    c = k % 8
+    sq = "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))"
+    wkt = (
+        F.when(c == 0, F.format_string(sq, x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y))
+        .when(c == 1, F.lit("POLYGON EMPTY"))
+        .when(c == 2, F.lit("not a wkt at all"))
+        .when(c == 3, F.format_string("POINT (%s %s)", x, y))
+        .when(c == 4, F.format_string("LINESTRING (%s %s, %s %s, %s %s)", x, y, x + 1, y, x + 2, y + 1))
+        .when(c == 5, F.lit(None).cast("string"))
+        .when(
+            c == 6,
+            F.format_string(
+                "MULTIPOLYGON (((%s %s, %s %s, %s %s, %s %s, %s %s)), "
+                "((%s %s, %s %s, %s %s, %s %s, %s %s)))",
+                x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y,
+                x + 5, y, x + 6, y, x + 6, y + 1, x + 5, y + 1, x + 5, y,
+            ),
+        )
+        .otherwise(F.format_string("POLYGON ((%s %s, bad))", x, y))
+    )
+    src = D.load(spark, sf_dir, "events").select(c.alias("case_id"), wkt.alias("wkt"))
+
+    schema = T.StructType(
+        [
+            T.StructField("case_id", T.LongType()),
+            T.StructField("wkt_type", T.StringType()),
+            T.StructField("n_geoms", T.IntegerType()),
+            T.StructField("n_pts", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for cid, w in zip(pdf["case_id"], pdf["wkt"]):
+                parsed = parse_wkt(w if isinstance(w, str) else None)
+                arr = wkt_to_4d_array_from_parsed(parsed)
+                n_pts = sum(len(ring) for geom in arr for ring in geom)
+                rows.append((cid, parsed[0], len(arr), n_pts))
+            if rows:
+                yield pd.DataFrame(rows, columns=["case_id", "wkt_type", "n_geoms", "n_pts"])
+
+    classified = src.mapInPandas(kernel, schema=schema)
+    return classified.groupBy("case_id", "wkt_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_geoms").cast("long").alias("n_geoms"),
+        F.sum("n_pts").cast("long").alias("n_points"),
+    )
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (readStream -> session_window +
+    watermark, the live form of splitClusterByTime G:2864-2932)
+    drained one-shot (availableNow) into a memory sink — the first
+    driver-signable row for the streaming surface. The twin restates
+    the EXACT session_window rule (windows are half-open [ts,
+    ts+gap), so a step of >= gap MICROSECONDS splits) rather than
+    reusing the batch twin: the batch rule truncates dt to whole
+    seconds (`> 300` after unix_timestamp / date_diff('second')), so
+    a 300.x-second step is one batch session but two streaming
+    sessions — found live on the sf0.01 fixture (device 34, 300.586 s
+    step). Rotation-ready for r7."""
+    from . import streaming as S
+
+    return S.run_stream_to_memory(
+        S.sessionize_stream(S.gps_point_stream(spark, sf_dir)),
+        "q_stream_sessions_mem",
+    )
+
+
+_WKT_PARSE_REPAIR_SQL = """
+SELECT CAST(event_id % 8 AS BIGINT) AS case_id,
+       CASE WHEN event_id % 8 = 0 THEN 'POLYGON'
+            WHEN event_id % 8 = 3 THEN 'POINT'
+            WHEN event_id % 8 = 4 THEN 'LINESTRING'
+            WHEN event_id % 8 = 6 THEN 'MULTIPOLYGON'
+            ELSE 'EMPTY' END AS wkt_type,
+       count(*) AS n,
+       CAST(sum(CASE event_id % 8 WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 4 THEN 1
+                                  WHEN 6 THEN 2 ELSE 0 END) AS BIGINT) AS n_geoms,
+       CAST(sum(CASE event_id % 8 WHEN 0 THEN 5 WHEN 3 THEN 1 WHEN 4 THEN 3
+                                  WHEN 6 THEN 10 ELSE 0 END) AS BIGINT) AS n_points
+FROM events
+GROUP BY 1, 2
+"""
+
 _SAFE_BUFFER_SQL = """
 WITH proj AS ({proj}),
 bbox AS (
@@ -1603,6 +1708,31 @@ GROUP BY device_id
             )
         ),
         "gps_safe_buffer": _SAFE_BUFFER_SQL.format(proj=field_proj),
+        "wkt_parse_repair": _WKT_PARSE_REPAIR_SQL,
+        # the exact session_window rule: split at dt >= gap in
+        # MICROSECONDS (half-open windows) — deliberately NOT the
+        # batch session twin, whose whole-second dt truncation keeps
+        # 300.x-second steps (see q_stream_sessions docstring)
+        "stream_sessions": _with(
+            pts,
+            """
+SELECT device_id, count(*) AS n_points, min(ts) AS start_ts, max(ts) AS end_ts
+FROM (
+  SELECT device_id, ts,
+         sum(cut) OVER (PARTITION BY device_id ORDER BY ts, point_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM (
+    SELECT device_id, ts, point_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+                THEN 1 ELSE 0 END AS cut
+    FROM pts WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY device_id ORDER BY ts, point_id)
+  )
+)
+GROUP BY device_id, seg_id
+""",
+        ),
         "gps_dyn_eps": _with(
             pts,
             _DYN_EPS_SQL.format(
