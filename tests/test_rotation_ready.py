@@ -18,6 +18,8 @@ READY = [
     "gps_polygon_range_points",
     "wkt_parse_repair",
     "stream_sessions",
+    "wkt_sink",
+    "gps_dp_sampling",
 ]
 
 

@@ -89,6 +89,32 @@ def test_density_closed_form_matches_kernel(n):
     assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
 
 
+def spike_xy(n: int) -> np.ndarray:
+    out = np.stack([np.arange(n, dtype=float), np.zeros(n)], axis=1)
+    if n:
+        out[n // 2, 1] = 100.0
+    return out
+
+
+def expected_dp_spike(n: int) -> np.ndarray:
+    """Closed form of douglas_peucker_mask(tol=0.5) on the spike line:
+    keep {0, m-1, m, m+1, n-1}, m = n//2 (derivation in
+    queries._sampling_track's docstring)."""
+    i = np.arange(n)
+    m = n // 2
+    keep = (i == 0) | (i == n - 1) | (np.abs(i - m) <= 1)
+    return keep
+
+
+@pytest.mark.parametrize("n", list(range(1, 40)) + [59, 100, 176, 200, 313, 1001])
+def test_dp_spike_closed_form_matches_kernel(n):
+    from util_gis_spark.geo.geometry import douglas_peucker_mask
+
+    got = douglas_peucker_mask(spike_xy(n), 0.5)
+    want = expected_dp_spike(n)
+    assert np.array_equal(got, want), f"n={n}: {np.flatnonzero(got != want)}"
+
+
 def test_fixture_builder_matches_independent_geometry(spark, sf_dir):
     """The Spark fixture builder must produce the exact geometry the
     closed forms were derived for (per device, positions keyed by the
@@ -97,7 +123,12 @@ def test_fixture_builder_matches_independent_geometry(spark, sf_dir):
 
     sf = sf_dir
     line_xy = lambda n: np.stack([np.arange(n, dtype=float), np.zeros(n)], axis=1)
-    for shape, ref in (("zigzag", zigzag_xy), ("clusters", cluster_xy), ("line", line_xy)):
+    for shape, ref in (
+        ("zigzag", zigzag_xy),
+        ("clusters", cluster_xy),
+        ("line", line_xy),
+        ("spike", spike_xy),
+    ):
         pdf = (
             Q._sampling_track(spark, sf, shape)
             .toPandas()

@@ -333,9 +333,16 @@ def douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
     """Iterative DP simplification (reference caps vertex counts with
     DouglasPeuckerSimplifier at G:1283/G:2456/G:2591)."""
     pts = np.asarray(points, dtype=np.float64)
+    return pts[douglas_peucker_mask(pts, tol)]
+
+
+def douglas_peucker_mask(points: np.ndarray, tol: float) -> np.ndarray:
+    """Boolean keep-mask form of douglas_peucker (same recursion; the
+    DataFrame sampling operator needs the mask to keep whole rows)."""
+    pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n <= 2:
-        return pts
+        return np.ones(n, dtype=bool)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
     stack = [(0, n - 1)]
@@ -351,4 +358,4 @@ def douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
             keep[m] = True
             stack.append((i, m))
             stack.append((m, j))
-    return pts[keep]
+    return keep

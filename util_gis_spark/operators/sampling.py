@@ -166,6 +166,28 @@ def simplify_by_angle(df_projected: DataFrame, group_cols=("device_id",)) -> Dat
     return grouped_apply(df_projected, group_cols, run, schema)
 
 
+def douglas_peucker_sampling(
+    df_projected: DataFrame, tol: float, group_cols=("device_id",)
+) -> DataFrame:
+    """DataFrame form of the reference's DouglasPeuckerSimplifier use
+    (vertex-count capping at G:1283/G:2456/G:2591, applied there to
+    plot rings; the trajectory form keeps the DP subset of each
+    (ts, point_id)-sorted track). Same grouped-kernel shape as the
+    other thinning operators."""
+    from ..geo.geometry import douglas_peucker_mask
+
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, _secs = sorted_with_secs(pdf)
+        mask = douglas_peucker_mask(pdf[["x", "y"]].to_numpy(np.float64), tol)
+        return pdf.loc[mask]
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)
+
+
 def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
     schema = df_projected.schema
 

@@ -341,6 +341,13 @@ def _sampling_track(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
     - "line" (density_based_sampling, G:7568-7700): 1 m-spaced
       straight line (x = i, y = 0); see q_gps_density_sampling for
       the counts/tier closed form.
+    - "spike" (douglas_peucker_sampling, G:1283/G:2456/G:2591): the
+      line with one 100 m spike at m = n//2 (y = 100 iff i == m). DP
+      at tol=0.5 keeps exactly {0, m-1, m, m+1, n-1}: the flat chord's
+      argmax is the spike (dev 100), the [0,m] chord's argmax is
+      (m-1, 0) with dev 100(m-1)/sqrt(m^2+100^2) > 0.5 for every
+      m >= 2 (at m-1 = 1 it is ~0.9998), after which [0, m-1] is flat
+      again (dev 0) and recursion stops; the right side mirrors.
     - "zigzag" (simplify_by_angle, G:5269-5411): serpentine of
       0.6 m edges (>= MIN_EDGE_LEN 0.5, so no noise skips) turning 90
       deg every 3rd edge. Anchor walk: straight points accumulate 0.6
@@ -355,7 +362,7 @@ def _sampling_track(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
       int(1/0.1)=10) fires once mid-cluster -> keep-mask is exactly
       i % 10 == 0.
     """
-    if shape not in ("line", "zigzag", "clusters"):
+    if shape not in ("line", "zigzag", "clusters", "spike"):
         raise ValueError(f"unknown sampling-track shape {shape!r}")
     pts = D.gps_points(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("device_id").orderBy("ts", "point_id")
@@ -367,6 +374,13 @@ def _sampling_track(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
             "device_id", "ts", "point_id", "i",
             F.col("i").cast("double").alias("x"),
             F.lit(0.0).alias("y"),
+        )
+    if shape == "spike":
+        n = F.count("*").over(Window.partitionBy("device_id"))
+        return base.select(
+            "device_id", "ts", "point_id", "i",
+            F.col("i").cast("double").alias("x"),
+            F.when(F.col("i") == F.floor(n / 2), F.lit(100.0)).otherwise(F.lit(0.0)).alias("y"),
         )
     if shape == "clusters":
         return base.select(
@@ -559,6 +573,20 @@ def q_gps_polygon_range_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_dp_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker thinning (the reference's
+    DouglasPeuckerSimplifier caps, G:1283/G:2456/G:2591) at tol=0.5 m
+    on the spike track; oracle = the closed-form keep-set
+    {0, m-1, m, m+1, n-1}, m = n//2 (derivation in _sampling_track's
+    docstring; the differential test re-proves mask == closed form at
+    every n). Rotation-ready for r7."""
+    from .operators.sampling import douglas_peucker_sampling
+
+    return _kept_summary(
+        douglas_peucker_sampling(_sampling_track(spark, sf_dir, "spike"), tol=0.5)
+    )
+
+
 def q_wkt_parse_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKT source parse + degrade-to-EMPTY repair (G:11353-11358,
     G:11402-11457) over a crafted mixed corpus: event_id % 8 cycles
@@ -645,6 +673,57 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_stream_to_memory(
         S.sessionize_stream(S.gps_point_stream(spark, sf_dir)),
         "q_stream_sessions_mem",
+    )
+
+
+def q_wkt_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT result sink (the reference's WKT/result parquet stages,
+    SURVEY §2.1): write the polygon layer's WKT through a
+    CheckpointedPipeline stage (parquet + manifest with rows / bytes /
+    per-partition lineage), read the checkpoint BACK, and re-parse
+    every written string; output = per-polygon envelope of the
+    round-tripped geometry plus the manifest's observed row count.
+    Oracle = the layer's numeric bbox columns (write->read->parse is
+    exact: Spark renders doubles shortest-round-trip, pinned by the
+    wkt_4d_array row) + count(*). A fresh temp root per call keeps
+    the resume machinery out of the compare (it has its own tests in
+    tests/test_checkpoint.py). Rotation-ready for r7."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo.geometry import geom_envelope, parse_wkt
+    from .io.checkpoint import CheckpointedPipeline
+
+    pipe = CheckpointedPipeline(spark, tempfile.mkdtemp(prefix="wkt_sink_"))
+    back = pipe.stage(
+        "wkt_out",
+        lambda: D.polygons_wkt(spark, sf_dir).select("polygon_id", "wkt"),
+    )
+    res = pipe.results["wkt_out"]
+
+    schema = T.StructType(
+        [
+            T.StructField("polygon_id", T.LongType()),
+            T.StructField("x0", T.DoubleType()),
+            T.StructField("y0", T.DoubleType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for pid, w in zip(pdf["polygon_id"], pdf["wkt"]):
+                env = geom_envelope(parse_wkt(w))
+                rows.append((pid, *env) if env else (pid, None, None, None, None))
+            if rows:
+                yield pd.DataFrame(rows, columns=["polygon_id", "x0", "y0", "x1", "y1"])
+
+    return back.mapInPandas(kernel, schema=schema).withColumn(
+        "stage_rows", F.lit(res.rows).cast("long")
     )
 
 
@@ -1709,6 +1788,20 @@ GROUP BY device_id
         ),
         "gps_safe_buffer": _SAFE_BUFFER_SQL.format(proj=field_proj),
         "wkt_parse_repair": _WKT_PARSE_REPAIR_SQL,
+        "gps_dp_sampling": f"""
+WITH idx AS ({_SAMPLING_IDX_SQL.format(src=D.GPS_POINTS_SQL)})
+SELECT device_id, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(i) AS BIGINT) AS idx_sum
+FROM idx WHERE i = 0 OR i = n - 1 OR i BETWEEN (n // 2) - 1 AND (n // 2) + 1
+GROUP BY device_id
+""",
+        "wkt_sink": _with(
+            pol,
+            """
+SELECT polygon_id, xmin AS x0, ymin AS y0, xmax AS x1, ymax AS y1,
+       CAST((SELECT count(*) FROM pol) AS BIGINT) AS stage_rows
+FROM pol
+""",
+        ),
         # the exact session_window rule: split at dt >= gap in
         # MICROSECONDS (half-open windows) — deliberately NOT the
         # batch session twin, whose whole-second dt truncation keeps
