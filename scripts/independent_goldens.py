@@ -525,8 +525,59 @@ def check_mutual_rows(rows: list[dict]) -> list[str]:
     return errs
 
 
+# --- accumulated_union: the fixture (queries.q_accumulated_union)
+# stacks, per group g, members r = 0..4 at y = 39.5 + 0.04 r (height
+# 0.07 -> 0.03 overlap with the previous member) with widths
+# 0.05 + 0.004 r (INCREASING — insertion order is the opposite of
+# area order). Insertion-order clip: r=0 keeps its full rectangle;
+# r>=1 keeps the 0.04-deg strip above the previous member's top edge
+# plus the 0.004-deg-wide sliver where it outgrows the previous
+# member's width over the 0.03-deg overlap band (only member r-1 can
+# overlap member r: r-2 tops out at y_r - 0.01). Both pieces are
+# axis-aligned rectangles with closed-form spherical areas.
+ACCUM_MU_RTOL = 0.01
+
+
+def accumulated_expectations() -> dict[tuple[int, int], tuple[float, float]]:
+    out = {}
+    for grp in range(5):
+        x0 = 116.0 + grp * 0.15
+        for r in range(5):
+            w = 0.05 + r * 0.004
+            y0 = 39.5 + 0.04 * r
+            if r == 0:
+                mu = spherical_rect_mu(x0, x0 + w, y0, y0 + 0.07)
+            else:
+                w_prev = 0.05 + (r - 1) * 0.004
+                mu = spherical_rect_mu(x0, x0 + w, y0 + 0.03, y0 + 0.07) + spherical_rect_mu(
+                    x0 + w_prev, x0 + w, y0, y0 + 0.03
+                )
+            out[(grp, r)] = (mu * (1 - ACCUM_MU_RTOL), mu * (1 + ACCUM_MU_RTOL))
+    return out
+
+
+def check_accumulated_rows(rows: list[dict]) -> list[str]:
+    exp = accumulated_expectations()
+    errs = []
+    got = {(int(r["grp"]), int(r["member_idx"])): float(r["mu_approx"]) for r in rows}
+    if len(got) != len(rows):
+        errs.append("accumulated_union: duplicate (grp, member_idx) rows")
+    if set(got) != set(exp):
+        errs.append(
+            f"accumulated_union: survivor set {sorted(got)} != expected {sorted(exp)}"
+        )
+    for key in sorted(set(got) & set(exp)):
+        lo, hi = exp[key]
+        if not (lo <= got[key] <= hi):
+            errs.append(
+                f"accumulated_union {key}: mu {got[key]} outside [{lo:.1f}, {hi:.1f}]"
+            )
+    return errs
+
+
 #: name -> checker for every pin make_goldens gates beyond the flagships
 PIN_CHECKS = {
+    "accumulated_union": lambda rows, sf: check_accumulated_rows(rows),
     "mutual_difference": lambda rows, sf: check_mutual_rows(rows),
     "conflict_resolution": lambda rows, sf: check_conflict_rows(rows),
     "merge_polygons": lambda rows, sf: check_merge_rows(rows),

@@ -33,6 +33,9 @@ TARGETS = {
     # SQL-expressible there (windows.split_time_windows_summary_sql).
     "merge_polygons": "raster n-ary union (mergeWgs84WKT)",
     "conflict_resolution": "raster larger-wins clip loop",
+    # accumulated_union is a rotation-ready staged row (not in the
+    # 50-key catalogue yet); its pin is gated like every other
+    "accumulated_union": "raster accumulated-union clip (insertion order)",
     "mutual_difference": "raster mutual-difference (differenceGeometry)",
     # images_resize_stats / video_frame_sample were rotated OUT of the
     # 50-key catalogue in r5; their pins stay generated (and gated) for
@@ -99,6 +102,9 @@ def main() -> None:
     # retired catalogue rows keep gated pins for the pytest gate replica
     qs.setdefault("images_resize_stats", Q.q_images_resize_stats)
     qs.setdefault("video_frame_sample", Q.q_video_frame_sample)
+    # rotated out of the catalogue in r6, pin still generated + gated
+    qs.setdefault("images_psnr_check", Q.q_images_psnr_check)
+    qs.setdefault("accumulated_union", Q.q_accumulated_union)
     out = {}
     for name, why in TARGETS.items():
         df = qs[name](spark, SF)

@@ -203,3 +203,42 @@ class TestR4PinsAreIndependentlyValid:
         rows = _golden_rows("gps_kalman_drift")
         rows[4] = dict(rows[4], n_points=int(rows[4]["n_points"]) - 1)
         assert any("n_points" in e for e in check_kalman_rows(rows, SF))
+
+
+@needs_sf
+class TestAccumulatedUnionPinGate:
+    """r6: the accumulated_union (insertion-order clip) pin must be
+    independently valid, and the two defining bugs — a member that
+    skipped the clip, and running in larger-wins order instead of
+    insertion order — must trip the gate."""
+
+    def test_unclipped_member_is_caught(self):
+        from independent_goldens import check_accumulated_rows, spherical_rect_mu
+
+        rows = _golden_rows("accumulated_union")
+        for r in rows:
+            if r["grp"] == 1 and r["member_idx"] == 2:
+                x0 = 116.0 + 1 * 0.15
+                y0 = 39.5 + 0.04 * 2
+                r["mu_approx"] = round(
+                    spherical_rect_mu(x0, x0 + 0.05 + 0.008, y0, y0 + 0.07), 1
+                )
+        errs = check_accumulated_rows(rows)
+        assert any("outside" in e for e in errs)
+
+    def test_area_order_instead_of_insertion_is_caught(self):
+        """Under larger-wins order the WIDEST member (r=4) would keep
+        its full rectangle — inject that and the insertion-order
+        expectation (r=4 keeps only the strip + sliver) must fail."""
+        from independent_goldens import check_accumulated_rows, spherical_rect_mu
+
+        rows = _golden_rows("accumulated_union")
+        for r in rows:
+            if r["grp"] == 0 and r["member_idx"] == 4:
+                x0 = 116.0
+                y0 = 39.5 + 0.04 * 4
+                r["mu_approx"] = round(
+                    spherical_rect_mu(x0, x0 + 0.05 + 0.016, y0, y0 + 0.07), 1
+                )
+        errs = check_accumulated_rows(rows)
+        assert any("outside" in e for e in errs)

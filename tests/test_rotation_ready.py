@@ -20,6 +20,7 @@ READY = [
     "stream_sessions",
     "wkt_sink",
     "gps_dp_sampling",
+    "accumulated_union",
 ]
 
 

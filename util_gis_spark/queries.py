@@ -223,6 +223,51 @@ def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", "member_idx", F.round("mu", 1).alias("mu_approx"))
 
 
+def q_accumulated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated-union clip (G:4751-4944): members are clipped by
+    the union of everything already kept in INSERTION order (vs
+    conflict_resolution's larger-wins order); oracle = golden rows
+    gated before pinning by the EXACT analytic derivation in
+    scripts/independent_goldens.py.
+
+    Fixture: group g holds members r = 0..4 stacked at y = 39.5 +
+    0.04*r (height 0.07 -> 0.03-deg overlap with the previous member)
+    with strictly INCREASING widths 0.05 + 0.004*r — so insertion
+    order is the OPPOSITE of area order and the row genuinely pins
+    the 'insertion' branch (larger-wins would process r=4 first).
+    Survivor r=0 keeps its full rectangle; each r>=1 keeps an
+    L-shape: the 0.04-deg strip above the previous member's top edge
+    plus the 0.004-deg vertical sliver where it is wider than the
+    previous member — axis-aligned pieces with closed-form spherical
+    areas."""
+    from .operators.geometry_ops import resolve_conflicts_agg
+
+    p = D.polygons(spark, sf_dir)
+    rank = F.floor(F.col("polygon_id") / 5).cast("long")
+    xmin = 116.0 + (F.col("polygon_id") % 5) * 0.15
+    ymin = 39.5 + rank * 0.04
+    shifted = p.select(
+        F.col("polygon_id"),
+        (F.col("polygon_id") % 5).alias("grp"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 0.05 + rank * 0.004).alias("xmax"),
+        (ymin + 0.07).alias("ymax"),
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit("))"),
+    )
+    out = resolve_conflicts_agg(
+        shifted.withColumn("wkt", wkt), ["grp"], order="insertion", sort_cols=["polygon_id"]
+    )
+    return out.select("grp", "member_idx", F.round("mu", 1).alias("mu_approx"))
+
+
 def q_mutual_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual difference (differenceGeometry G:9258-9345): every member
     loses all regions it shares with any other member of its group;
