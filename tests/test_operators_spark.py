@@ -253,6 +253,76 @@ class TestAnnIvf:
 
         with pytest.raises(ValueError, match="probe_transport"):
             ann_ivf_topk(D.load(spark, sf_dir, "embeddings"), probe_transport="carrier-pigeon")
+        with pytest.raises(ValueError, match="assign_transport"):
+            ann_ivf_topk(D.load(spark, sf_dir, "embeddings"), assign_transport="osmosis")
+
+    def test_assign_transports_identical(self, spark, sf_dir):
+        """The Arrow argmax assignment kernel must be BIT-IDENTICAL to
+        the literal greatest() expression form end-to-end: same
+        ascending-d fold, same first-max == smaller-list_id tie-break,
+        so every (probe, neighbor, cos, list) row matches exactly."""
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import ann_ivf_topk
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        key = lambda r: (r["probe_id"], r["neighbor_id"], r["cos_sim"], r["list_id"])
+        ex = sorted(key(r) for r in ann_ivf_topk(emb, assign_transport="expr").collect())
+        kr = sorted(key(r) for r in ann_ivf_topk(emb, assign_transport="kernel").collect())
+        assert ex == kr and ex
+
+    def test_assign_auto_switches_to_kernel_beyond_expr_cap(self, spark, sf_dir):
+        """Past _ASSIGN_EXPR_MAX_TERMS (lists x dim) 'auto' must route
+        to the kernel (the expression form's Janino compile is the
+        thing being avoided — it OOMs a 48 GiB driver at 300 lists x
+        64 dims — so the test never builds it at this size) and the
+        assignment must match an independent numpy replica of the
+        ordered-fold argmax."""
+        import numpy as np
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import (
+            _ASSIGN_EXPR_MAX_TERMS,
+            _assign_kernel,
+            ann_ivf_topk,
+        )
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        n_lists = _ASSIGN_EXPR_MAX_TERMS // dim + 44
+        rng = np.random.default_rng(11)
+        cents = []
+        for j in range(n_lists):
+            c = rng.standard_normal(dim)
+            cents.append((j, (c / np.linalg.norm(c)).tolist()))
+
+        e = emb.selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+        got = {
+            (r["vec_id"], r["list_id"]) for r in _assign_kernel(e, cents).collect()
+        }
+        pdf = e.orderBy("vec_id").toPandas()
+        C = np.array([c for _j, c in cents])
+        want = set()
+        for vid, v in zip(pdf["vec_id"], pdf["v"]):
+            V = np.asarray(v, dtype=np.float64)
+            dot = np.zeros(n_lists)
+            for d in range(dim):  # same ordered fold as expr/kernel
+                dot = dot + V[d] * C[:, d]
+            want.add((int(vid), int(np.argmax(dot))))
+        assert got == want and len(got) > 0
+
+        # auto == explicit kernel end-to-end at this list count
+        key = lambda r: (r["probe_id"], r["neighbor_id"], r["cos_sim"], r["list_id"])
+        auto = sorted(
+            key(r)
+            for r in ann_ivf_topk(emb, centroids=cents, nprobe=5).collect()
+        )
+        kern = sorted(
+            key(r)
+            for r in ann_ivf_topk(
+                emb, centroids=cents, nprobe=5, assign_transport="kernel"
+            ).collect()
+        )
+        assert auto == kern and auto
 
 
 class TestResPlanner:

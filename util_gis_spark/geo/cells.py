@@ -68,13 +68,14 @@ def pack_expr(res: int, ix: Column, iy: Column) -> Column:
 
 def cell_expr(lon: Column, lat: Column, res: int) -> Column:
     """Cell id as a pure Column expression (no UDF). NULL/NaN
-    coordinates yield a NULL cell (joins nothing) — least/greatest are
-    null-SKIPPING in both engines, so without the guard a dirty row
-    collapsed onto the valid corner cell (r5 review: spurious join
-    candidates + skew on one corner cell)."""
-    dirty = lon.isNull() | lat.isNull() | F.isnan(lon) | F.isnan(lat)
-    packed = pack_expr(res, lon_ix_expr(lon, res), lat_iy_expr(lat, res))
-    return F.when(dirty, F.lit(None).cast("long")).otherwise(packed).alias("cell")
+    coordinates yield a NULL cell (joins nothing): the guard lives in
+    lon_ix_expr/lat_iy_expr (r6, ADVICE r5 #2 — one definition for
+    every caller), and a NULL index propagates NULL through the pack
+    arithmetic — least/greatest alone are null-SKIPPING in both
+    engines, which is why the unguarded clamp collapsed dirty rows
+    onto the valid corner cell (r5 review: spurious join candidates +
+    skew on one corner cell)."""
+    return pack_expr(res, lon_ix_expr(lon, res), lat_iy_expr(lat, res)).alias("cell")
 
 
 def cell_sql(lon: str, lat: str, res: int) -> str:

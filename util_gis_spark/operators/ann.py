@@ -434,6 +434,75 @@ def kmeans_centroids(
     return [(j, C[j].tolist()) for j in range(k)]
 
 
+# Above this many unrolled multiply-add TERMS (lists x dim) the literal
+# greatest() assignment expression stops being viable — measured on
+# this box (Spark 4.1, 48 GiB driver): 25 lists x 64 dims (1,600
+# terms) compiles in ~9 s and is the proven driver-row/bench shape;
+# 64 x 64 (4,096 terms) runs minutes-to-failure; 300 x 64 (19,200
+# terms) OOMs the 48 GiB JVM during Janino compilation even on a
+# 1,000-vector corpus. `assign_transport="auto"` switches to the Arrow
+# argmax kernel above the cap.
+_ASSIGN_EXPR_MAX_TERMS = 2048
+
+
+def _assign_kernel(e: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, v, list_id): nearest-centroid corpus assignment for
+    LARGE quantizers — the documented switch-over from the literal
+    greatest() expression form, which unrolls lists x dim
+    multiply-adds into one codegen'd expression and fails hard past a
+    few thousand terms (see _ASSIGN_EXPR_MAX_TERMS for the measured
+    cliff — at 300 lists x 64 dims the Janino compile OOMs a 48 GiB
+    driver). Still map-only: zero Exchange, one Arrow pass over the
+    corpus.
+
+    Bit-identical to the expression form (parity-tested): the dot
+    accumulates in ascending-d order (== the expression's
+    left-to-right `v[0]*c0 + v[1]*c1 + ...` chain), and ties pick the
+    smaller list_id (np.argmax keeps the FIRST max over centroid rows
+    sorted ascending by list_id == greatest() over (dot, -list_id)
+    structs).
+
+    The centroid matrix ships in the task closure: it is serialized
+    once per stage into the task binary, which Spark
+    torrent-broadcasts to executors — so a 10^4-list x 64-dim float64
+    quantizer costs ~5 MB per executor, not per task, with none of
+    the ~30-45 s cold per-call cost a fresh Python `sc.broadcast` pays
+    on local mode (see probe_transport's measured tradeoff)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lids = np.array([lid for lid, _ in cent_rows], dtype=np.int64)
+    C = np.array([c for _, c in cent_rows], dtype=np.float64)  # k x dim
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # n x dim
+            dot = np.zeros((len(V), C.shape[0]))
+            for d in range(C.shape[1]):  # ascending-d fold == the expr chain
+                dot = dot + V[:, d, None] * C[None, :, d]
+            best = np.argmax(dot, axis=1)  # first max -> smallest list_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "v": pdf["v"],
+                    "list_id": lids[best],
+                }
+            )
+
+    return e.select("vec_id", "v").mapInPandas(run, schema=schema)
+
+
 def ann_ivf_topk(
     embeddings_df: DataFrame,
     probe_filter: str = "vec_id % 100 = 0",
@@ -441,6 +510,7 @@ def ann_ivf_topk(
     nprobe: int = 3,
     centroids: list[tuple[int, list[float]]] | None = None,
     probe_transport: str = "join",
+    assign_transport: str = "auto",
 ) -> DataFrame:
     """IVF top-k: coarse-quantize every vector to its max-dot centroid
     list, probe the top `nprobe` lists per query vector, exact-cosine
@@ -481,15 +551,34 @@ def ann_ivf_topk(
       per executor on a long-lived cluster — but it runs probe
       ranking EAGERLY (toPandas) at call time, and the returned
       DataFrame carries the broadcast as `.probes_bc` for callers to
-      `.destroy()` after consuming."""
+      `.destroy()` after consuming.
+
+    `assign_transport` picks how the corpus reaches its list — both
+    bit-identical (parity-tested):
+
+    - ``"expr"``: the literal greatest() codegen expression (below) —
+      all-JVM, whole-stage codegen; only viable for SMALL quantizers
+      (lists x dim <= `_ASSIGN_EXPR_MAX_TERMS`; the measured cliff is
+      steep — see the constant's comment).
+    - ``"kernel"``: `_assign_kernel`'s Arrow argmax with the centroid
+      matrix in the task closure — the large-quantizer scale path.
+    - ``"auto"`` (default): "expr" at <= `_ASSIGN_EXPR_MAX_TERMS`
+      lists x dim terms (keeps the proven all-JVM plan for the driver
+      row's 25x64 quantizer and the bench's 8x64), "kernel" above."""
     # pure parameter check — validate BEFORE the eager corpus jobs
     # below (dim probe, centroid aggregation), so a typo costs nothing
     if probe_transport not in ("join", "broadcast"):
         raise ValueError(f"probe_transport must be 'join' or 'broadcast', got {probe_transport!r}")
+    if assign_transport not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"assign_transport must be 'auto', 'expr' or 'kernel', got {assign_transport!r}"
+        )
     e = embeddings_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    first = e.select(F.size("v").alias("d")).first()
+    # dim probe skips NULL embeddings: size(NULL) is NULL, and the row
+    # the scan happens to return first need not be clean (review r6)
+    first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
     if first is None:  # empty input: empty result, not a crash
         spark = embeddings_df.sparkSession
         return spark.createDataFrame(
@@ -521,9 +610,11 @@ def ann_ivf_topk(
     # into multiply-adds inside whole-stage codegen. Same doubles,
     # same (dot desc, list_id asc) tie-break, zero Exchange. The
     # centroid values are materialized here (one bounded job on the
-    # label path; the kmeans path already holds them) — beyond ~10^4
-    # lists the expression form stops being practical and a broadcast
-    # join + per-partition argmax would take over.
+    # label path; the kmeans path already holds them) — beyond
+    # _ASSIGN_EXPR_MAX_TERMS lists x dim terms `assign_transport=
+    # "auto"` switches to _assign_kernel's Arrow argmax (still
+    # map-only; see its docstring), because the expression's Janino
+    # compile fails hard past a few thousand terms.
     if centroids is not None:
         cent_rows = sorted((int(i), [float(x) for x in c]) for i, c in centroids)
     else:
@@ -536,16 +627,23 @@ def ann_ivf_topk(
         # probe ranking and the literal corpus assignment
         spark = embeddings_df.sparkSession
         cents = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
-    structs = ", ".join(
-        "named_struct('d', "
-        + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
-        + f", 'n', {-lid})"
-        for lid, c in cent_rows
-    )
-    assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
-    assigned = e.select(
-        "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
-    )
+    if assign_transport == "auto":
+        assign_transport = (
+            "expr" if len(cent_rows) * dim <= _ASSIGN_EXPR_MAX_TERMS else "kernel"
+        )
+    if assign_transport == "expr":
+        structs = ", ".join(
+            "named_struct('d', "
+            + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
+            + f", 'n', {-lid})"
+            for lid, c in cent_rows
+        )
+        assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
+        assigned = e.select(
+            "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
+        )
+    else:
+        assigned = _assign_kernel(e, cent_rows)
     # probe-side ranking keeps the window — probes are the filtered
     # small side, and it needs the full top-nprobe order, not argmax
     scored_lists = (
@@ -795,7 +893,10 @@ def embed_topk_blocked(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
-    first = e.select(F.size("v").alias("d")).first()
+    # dim probe skips NULL embeddings: size(NULL) is NULL, and the row
+    # the scan happens to return first need not be a probe row, so an
+    # unrelated NULL would TypeError the byte-cap arithmetic (review r6)
+    first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
     if first is None:
         return spark.createDataFrame([], schema)
     cap_rows = max(max_probe_bytes // (8 * int(first["d"]) + 8), 1)

@@ -730,9 +730,15 @@ def q_wkt_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-tripped geometry plus the manifest's observed row count.
     Oracle = the layer's numeric bbox columns (write->read->parse is
     exact: Spark renders doubles shortest-round-trip, pinned by the
-    wkt_4d_array row) + count(*). A fresh temp root per call keeps
-    the resume machinery out of the compare (it has its own tests in
-    tests/test_checkpoint.py). Rotation-ready for r7."""
+    wkt_4d_array row) + count(*). The stage root is wiped before each
+    call and reused per process: a FRESH root keeps the resume
+    machinery out of the compare (it has its own tests in
+    tests/test_checkpoint.py — an existing manifest would make
+    stage() resume instead of write), and the fixed name bounds the
+    disk left behind to one layer copy per process instead of one per
+    call (r6 review). Rotation-ready for r7."""
+    import os
+    import shutil
     import tempfile
 
     import pandas as pd
@@ -741,7 +747,12 @@ def q_wkt_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo.geometry import geom_envelope, parse_wkt
     from .io.checkpoint import CheckpointedPipeline
 
-    pipe = CheckpointedPipeline(spark, tempfile.mkdtemp(prefix="wkt_sink_"))
+    # NB: the wipe means a previous call's RETURNED (lazy) DataFrame
+    # must be consumed before calling again — true for the driver's
+    # build-then-collect loop and the tests
+    root = os.path.join(tempfile.gettempdir(), f"wkt_sink_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    pipe = CheckpointedPipeline(spark, root)
     back = pipe.stage(
         "wkt_out",
         lambda: D.polygons_wkt(spark, sf_dir).select("polygon_id", "wkt"),
