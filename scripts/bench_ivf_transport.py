@@ -33,8 +33,8 @@ def main() -> None:
     emb = D.embeddings_range(spark, n_vecs, cpus)
     probe_filter = f"vec_id % {max(n_vecs // 500, 1)} = 0"
 
-    # warm up Python workers + Arrow + the Janino assignment-expr
-    # compile untimed (both transports share the assignment plan)
+    # warm up Python workers + Arrow untimed (both transports share
+    # the default kernel assignment plan)
     ann_ivf_topk(D.embeddings_range(spark, 2000, 4)).count()
 
     best: dict[str, float] = {}

@@ -160,8 +160,12 @@ def main() -> None:
         (
             "ANN: IVF list scan + exact re-rank (label quantizer)",
             "Verify (r6 join-default shape): (1) ONE corpus scan with "
-            "assignment inlined as a greatest() expression (no "
-            "Exchange to assign); (2) the per-list probe matrices "
+            "assignment as the map-only Arrow argmax kernel "
+            "(MapInPandas directly over the scan, no Exchange to "
+            "assign — the measured default since r6: 2.1x faster than "
+            "the literal greatest() expression at 200k vectors, which "
+            "remains the explicit zero-Python option below its "
+            "compile cap); (2) the per-list probe matrices "
             "attach via a BroadcastHashJoin on list_id (inner — "
             "unprobed lists drop at the join) feeding MapInPandas; "
             "(3) the only shuffle Exchange is the final per-probe "

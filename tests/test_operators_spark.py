@@ -324,6 +324,13 @@ class TestAnnIvf:
         )
         assert auto == kern and auto
 
+        # explicit expr past the cap must REFUSE (the compile is a
+        # measured OOM cliff), not attempt the build
+        import pytest
+
+        with pytest.raises(ValueError, match="unrolled terms"):
+            ann_ivf_topk(emb, centroids=cents, assign_transport="expr")
+
 
 class TestResPlanner:
     def test_pick_res_scales_with_polygon_size(self):

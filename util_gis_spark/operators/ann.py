@@ -556,15 +556,19 @@ def ann_ivf_topk(
     `assign_transport` picks how the corpus reaches its list — both
     bit-identical (parity-tested):
 
-    - ``"expr"``: the literal greatest() codegen expression (below) —
-      all-JVM, whole-stage codegen; only viable for SMALL quantizers
-      (lists x dim <= `_ASSIGN_EXPR_MAX_TERMS`; the measured cliff is
-      steep — see the constant's comment).
     - ``"kernel"``: `_assign_kernel`'s Arrow argmax with the centroid
-      matrix in the task closure — the large-quantizer scale path.
-    - ``"auto"`` (default): "expr" at <= `_ASSIGN_EXPR_MAX_TERMS`
-      lists x dim terms (keeps the proven all-JVM plan for the driver
-      row's 25x64 quantizer and the bench's 8x64), "kernel" above."""
+      matrix in the task closure. This is what "auto" (the default)
+      picks at every size: interleaved A/B on the bench shapes
+      measured it FASTER than the expression everywhere tested —
+      20k vectors / 8 lists: 10.5 vs 12.7 s; 200k / 8 lists: 55.7 vs
+      115.9 s (2.1x) — the per-row evaluation of the unrolled
+      multiply-add chain loses to one vectorized matmul pass even
+      though the kernel pays an Arrow round-trip of the corpus.
+    - ``"expr"``: the literal greatest() codegen expression (below) —
+      all-JVM, zero Python in the plan (the property a caller would
+      choose it for); refused above `_ASSIGN_EXPR_MAX_TERMS` lists x
+      dim terms, where its Janino compile is a measured OOM cliff
+      (see the constant's comment)."""
     # pure parameter check — validate BEFORE the eager corpus jobs
     # below (dim probe, centroid aggregation), so a typo costs nothing
     if probe_transport not in ("join", "broadcast"):
@@ -610,11 +614,12 @@ def ann_ivf_topk(
     # into multiply-adds inside whole-stage codegen. Same doubles,
     # same (dot desc, list_id asc) tie-break, zero Exchange. The
     # centroid values are materialized here (one bounded job on the
-    # label path; the kmeans path already holds them) — beyond
-    # _ASSIGN_EXPR_MAX_TERMS lists x dim terms `assign_transport=
-    # "auto"` switches to _assign_kernel's Arrow argmax (still
-    # map-only; see its docstring), because the expression's Janino
-    # compile fails hard past a few thousand terms.
+    # label path; the kmeans path already holds them). Since r6 the
+    # DEFAULT map-only form is _assign_kernel's Arrow argmax — the
+    # interleaved A/B measured it faster than this expression at every
+    # size (2.1x at 200k rows), and the expression's Janino compile
+    # fails hard past a few thousand terms; the expr stays as the
+    # explicit zero-Python-plan option below the cap.
     if centroids is not None:
         cent_rows = sorted((int(i), [float(x) for x in c]) for i, c in centroids)
     else:
@@ -628,10 +633,18 @@ def ann_ivf_topk(
         spark = embeddings_df.sparkSession
         cents = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
     if assign_transport == "auto":
-        assign_transport = (
-            "expr" if len(cent_rows) * dim <= _ASSIGN_EXPR_MAX_TERMS else "kernel"
-        )
+        # measured, not guessed: the kernel won the interleaved A/B at
+        # every corpus/quantizer size tested (see docstring) AND is the
+        # only form that exists past the expr's compile cliff
+        assign_transport = "kernel"
     if assign_transport == "expr":
+        if len(cent_rows) * dim > _ASSIGN_EXPR_MAX_TERMS:
+            raise ValueError(
+                f"assign_transport='expr' with {len(cent_rows)} lists x {dim} dims = "
+                f"{len(cent_rows) * dim} unrolled terms > {_ASSIGN_EXPR_MAX_TERMS}: "
+                "the literal expression's Janino compile fails hard past this "
+                "(300x64 OOMs a 48 GiB driver); use 'kernel' (bit-identical)"
+            )
         structs = ", ".join(
             "named_struct('d', "
             + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
