@@ -313,3 +313,105 @@ class TestSafeBuffer:
         }
         for i, c in enumerate(cases):
             assert got[i] == calculate_safe_buffer(*c), c
+
+
+class TestR6ReviewRegressions:
+    def test_min_points_validated_eagerly(self, spark):
+        """min_points <= 0 must raise on the driver: an empty sliding
+        window would pass the count gate and crash wx.max() on a
+        zero-size array inside the executor (r6 review)."""
+        import pytest
+
+        from util_gis_spark.operators.parking import filter_parking_by_time_window
+
+        df = spark.createDataFrame(
+            [(1, 1, 0.0, 0.0, "2024-01-01 00:00:00")],
+            "device_id long, point_id long, x double, y double, ts string",
+        ).selectExpr("device_id", "point_id", "x", "y", "CAST(ts AS timestamp) AS ts")
+        with pytest.raises(ValueError, match="min_points"):
+            filter_parking_by_time_window(df, min_points=0)
+
+    def test_parking_index_pass2_matches_brute_force(self):
+        """The r6 cloud-only pass-2 sweep must produce the identical
+        keep-mask to a straight-line O(n^2) restatement of the rule
+        (same d^2 <= r^2 metric, self included) on random clustered
+        tracks."""
+        import numpy as np
+
+        from util_gis_spark.operators.parking import np_filter_parking_points_by_index
+
+        rng = np.random.default_rng(17)
+        for trial in range(8):
+            n = int(rng.integers(5, 160))
+            # half the points huddle in dense clouds, half roam
+            x = np.where(
+                rng.random(n) < 0.5,
+                rng.normal(0.0, 2.0, n),
+                rng.uniform(-400, 400, n),
+            )
+            y = np.where(
+                rng.random(n) < 0.5,
+                rng.normal(0.0, 2.0, n),
+                rng.uniform(-400, 400, n),
+            )
+            ts = np.sort(rng.uniform(0, 600, n))
+            r, min_pts, min_dur = 10.0, 6, 120.0
+            got = np_filter_parking_points_by_index(
+                x, y, ts, parking_range_m=r, min_points=min_pts, min_duration_s=min_dur
+            )
+            d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+            nbmat = d2 <= r * r
+            is_parking = np.zeros(n, dtype=bool)
+            lim = r * 0.6
+            for i in range(n):
+                nb = np.flatnonzero(nbmat[i])
+                if (
+                    len(nb) >= min_pts
+                    and ts[nb].max() - ts[nb].min() >= min_dur
+                    and x[nb].max() - x[nb].min() <= lim
+                    and y[nb].max() - y[nb].min() <= lim
+                ):
+                    is_parking[nb] = True
+            assert np.array_equal(got, ~is_parking), f"trial {trial}"
+
+    def test_median_smooth_vectorized_matches_loop(self):
+        """The r6 interior-median vectorization (partition order
+        statistic) must be BIT-identical to the per-point np.median
+        loop, including tracks shorter than the window."""
+        import numpy as np
+
+        from util_gis_spark.operators.windows import np_median_smooth
+
+        rng = np.random.default_rng(23)
+        for n in (0, 1, 2, 3, 4, 5, 7, 30, 211):
+            x = rng.normal(0, 50, n)
+            y = rng.normal(0, 50, n)
+            ts = np.sort(rng.uniform(0, 3600, n))
+            got = np_median_smooth(x, y, ts)
+            # straight-line restatement with the loop median + the
+            # twin's sqrt(dx*dx+dy*dy) speed form
+            half = 2
+            sx = np.array([np.median(x[max(0, i - half) : i + half + 1]) for i in range(n)])
+            sy = np.array([np.median(y[max(0, i - half) : i + half + 1]) for i in range(n)])
+            speed = np.full(n, np.inf)
+            if n >= 3:
+                dpx, dpy = sx[1:-1] - sx[:-2], sy[1:-1] - sy[:-2]
+                dnx, dny = sx[2:] - sx[1:-1], sy[2:] - sy[1:-1]
+                speed[1:-1] = (
+                    np.sqrt(dpx * dpx + dpy * dpy) / np.maximum(ts[1:-1] - ts[:-2], 1e-9)
+                    + np.sqrt(dnx * dnx + dny * dny) / np.maximum(ts[2:] - ts[1:-1], 1e-9)
+                ) / 2.0
+            keep = np.ones(n, dtype=bool)
+            slow = speed <= 0.05
+            i = 0
+            while i < n:
+                if slow[i]:
+                    j = i
+                    while j + 1 < n and slow[j + 1]:
+                        j += 1
+                    if ts[j] - ts[i] >= 120.0:
+                        keep[i : j + 1] = False
+                    i = j + 1
+                else:
+                    i += 1
+            assert np.array_equal(got, keep), n

@@ -70,16 +70,19 @@ def is_parking_drift(df_projected: DataFrame) -> DataFrame:
         F.sum((F.col("heading_change") > DRIFT_HEADING_DEG).cast("long")).alias("n_turns"),
     )
     j = area.join(turns, "device_id", "left").fillna({"n_valid": 0, "n_turns": 0})
+    # ONE guarded ratio for both columns: the old is_drift conjunction
+    # repeated the division unguarded and survived n_valid=0 only by
+    # And's left-to-right operand order — under Spark 4's default ANSI
+    # mode a reordered conjunct raises DIVIDE_BY_ZERO (r6 review)
+    ratio = F.when(F.col("n_valid") > 0, F.col("n_turns") / F.col("n_valid")).otherwise(0.0)
     return j.select(
         "device_id",
         F.round("area_mu", 4).alias("area_mu"),
-        F.round(
-            F.when(F.col("n_valid") > 0, F.col("n_turns") / F.col("n_valid")).otherwise(0.0), 4
-        ).alias("turn_ratio"),
+        F.round(ratio, 4).alias("turn_ratio"),
         (
             (F.col("area_mu") <= DRIFT_AREA_MU)
             & (F.col("n_valid") > 0)
-            & (F.col("n_turns") / F.col("n_valid") >= DRIFT_HEADING_RATIO)
+            & (ratio >= DRIFT_HEADING_RATIO)
         ).alias("is_drift"),
     )
 
@@ -126,6 +129,11 @@ def filter_parking_by_time_window(df_projected: DataFrame, **kw) -> DataFrame:
         # step = window_s/2 drives the sweep; <= 0 would spin the
         # executor task forever instead of erroring on the driver
         raise ValueError("filter_parking_by_time_window: window_s must be > 0")
+    if kw.get("min_points", 1) < 1:
+        # min_points <= 0 lets an EMPTY window pass the count gate and
+        # crash wx.max() on a zero-size array inside the executor
+        # whenever a time gap exceeds one window step (r6 review)
+        raise ValueError("filter_parking_by_time_window: min_points must be >= 1")
     schema = df_projected.schema
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -190,12 +198,15 @@ def np_filter_parking_points_by_index(
         & (ymax - ymin <= lim)
     )
     if cloud.any():
-        for s in range(0, n, chunk):
-            idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
-            sp, nb = gi.query(idx)
-            member = cloud[idx[sp]]
-            if member.any():
-                is_parking[nb[member]] = True
+        # pass 2 queries ONLY the cloud members: every source in these
+        # chunks qualifies, so all returned neighbors are marked — the
+        # old full-n re-sweep redid the entire chunked neighbor query
+        # just to filter by membership, doubling kernel time on dense
+        # dwell trajectories (r6 review)
+        cloud_idx = np.flatnonzero(cloud).astype(np.int64)
+        for s in range(0, len(cloud_idx), chunk):
+            _sp, nb = gi.query(cloud_idx[s : s + chunk])
+            is_parking[nb] = True
     return ~is_parking
 
 

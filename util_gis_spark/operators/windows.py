@@ -37,7 +37,6 @@ def np_split_time_windows(
     n = len(ts_seconds)
     if n == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    raw_id = np.zeros(n, dtype=np.int64)
     windows: list[tuple[int, list[int]]] = []  # (label, point indices)
 
     cur: list[int] = [0]
@@ -95,7 +94,6 @@ def np_split_time_windows(
         arr = np.asarray(idx, dtype=np.int64)
         win_id[arr] = wid
         win_label[arr] = label
-    del raw_id
     return win_id, win_label
 
 
@@ -144,16 +142,39 @@ def np_median_smooth(
     if n == 0:
         return np.zeros(0, dtype=bool)
     half = k // 2
+    w = 2 * half + 1  # the [i-half, i+half] window is always odd-sized
     sx = np.empty(n)
     sy = np.empty(n)
-    for i in range(n):
+    if n >= w:
+        # interior: an odd window's median is a pure order statistic
+        # (no arithmetic), so the vectorized partition is bit-identical
+        # to np.median AND to the DuckDB twin — the old per-point
+        # np.median loop dominated kernel time on long trajectories
+        # (r6 review)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        sx[half : n - half] = np.partition(sliding_window_view(x, w), half, axis=1)[:, half]
+        sy[half : n - half] = np.partition(sliding_window_view(y, w), half, axis=1)[:, half]
+        edge_ix = list(range(half)) + list(range(n - half, n))
+    else:
+        edge_ix = range(n)
+    for i in edge_ix:
         lo, hi = max(0, i - half), min(n, i + half + 1)
         sx[i] = np.median(x[lo:hi])
         sy[i] = np.median(y[lo:hi])
     speed = np.full(n, np.inf)
     if n >= 3:
-        d_prev = np.hypot(sx[1:-1] - sx[:-2], sy[1:-1] - sy[:-2])
-        d_next = np.hypot(sx[2:] - sx[1:-1], sy[2:] - sy[1:-1])
+        # sqrt(dx*dx + dy*dy), NOT np.hypot: hypot is rounded
+        # differently at ulp level, and the DuckDB twin spells out the
+        # sqrt-of-sum form — a smoothed speed within 1 ulp of the
+        # threshold must flip `slow` in BOTH engines or neither
+        # (r6 review; the bit-identical-twin standard)
+        dpx = sx[1:-1] - sx[:-2]
+        dpy = sy[1:-1] - sy[:-2]
+        d_prev = np.sqrt(dpx * dpx + dpy * dpy)
+        dnx = sx[2:] - sx[1:-1]
+        dny = sy[2:] - sy[1:-1]
+        d_next = np.sqrt(dnx * dnx + dny * dny)
         dt_prev = np.maximum(ts_s[1:-1] - ts_s[:-2], 1e-9)
         dt_next = np.maximum(ts_s[2:] - ts_s[1:-1], 1e-9)
         speed[1:-1] = (d_prev / dt_prev + d_next / dt_next) / 2.0
@@ -235,9 +256,6 @@ def np_kalman_smooth(
 
 def kalman_smooth_trajectories(df_projected: DataFrame, group_cols=("device_id",), **kw) -> DataFrame:
     """Adds x_smooth/y_smooth columns per trajectory."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
     schema = T.StructType(
         df_projected.schema.fields
         + [T.StructField("x_smooth", T.DoubleType()), T.StructField("y_smooth", T.DoubleType())]
@@ -270,10 +288,14 @@ def split_time_windows_summary_sql(
     events fixture satisfies the precondition — its timestamps are
     jitter-random, so equal consecutive integer dts are one-off
     (asserted by tests/test_plots_and_windows.py); the switch path is
-    covered by the dedicated cadence fixtures there."""
+    covered by the dedicated cadence fixtures there. NULL-ts rows are
+    filtered like the kernel's sorted_with_secs does (r6 review: the
+    twin previously kept them, a latent divergence if the fixture ever
+    grows NULL timestamps)."""
     return f"""
 WITH pts AS ({pts_src}),
-s AS (SELECT device_id, ts, point_id, epoch_us(ts) // 1000000 AS sec FROM pts),
+s AS (SELECT device_id, ts, point_id, epoch_us(ts) // 1000000 AS sec
+      FROM pts WHERE ts IS NOT NULL),
 d AS (SELECT *, sec - lag(sec) OVER (PARTITION BY device_id ORDER BY ts, point_id) AS dt FROM s),
 r AS (SELECT *, sum(CASE WHEN dt IS NULL OR dt > {max_interval_s} THEN 1 ELSE 0 END)
           OVER (PARTITION BY device_id ORDER BY ts, point_id ROWS UNBOUNDED PRECEDING) - 1 AS raw_id FROM d),
