@@ -1048,6 +1048,38 @@ class TestR4TrajectoryPlotsRegressions:
         b = set(sessionize_by_distance(df).columns)
         assert a == b  # no leaked helper columns on either side
 
+    def test_null_step_cuts_consistently_across_sessionizers(self, spark):
+        """A mid-stream NULL coordinate makes the step distance NULL;
+        sessionize_by_distance and sessionize_by_time_or_distance must
+        both cut there (r6 review: the OR form's NULL comparison
+        silently continued the segment while the sibling cut)."""
+        import datetime as dt
+
+        from util_gis_spark.operators.trajectory import (
+            sessionize_by_distance,
+            sessionize_by_time_or_distance,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(seconds=i), None if i == 2 else 116.0 + i * 1e-5, 39.5, i)
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "device_id long, ts timestamp, lon double, lat double, point_id long"
+        )
+        segs_d = {
+            r["point_id"]: r["seg_id"] for r in sessionize_by_distance(df).collect()
+        }
+        segs_td = {
+            r["point_id"]: r["seg_id"]
+            for r in sessionize_by_time_or_distance(df).collect()
+        }
+        assert segs_d == segs_td
+        # the NULL-coord row starts a new segment, and so does the row
+        # after it (its step from the NULL row is NULL too)
+        assert segs_d[1] < segs_d[2] < segs_d[3] == segs_d[4]
+
     def test_plots_all_null_ts_device_yields_no_plots(self, spark):
         import datetime as dt
 

@@ -59,6 +59,12 @@ class _GridIndex:
         self.ends = np.append(self.starts[1:], len(x))
 
     def query(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(self.uniq_keys) == 0 or len(idx) == 0:
+            # an index over zero points answered every query with an
+            # IndexError (uniq_keys[-1] on an empty array) — the shared
+            # engine enforces its own precondition instead of every
+            # caller re-implementing the n == 0 guard (r6 review)
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
         srcs, nbs = [], []
         base_kx = self.cx[idx]
         base_ky = self.cy[idx]

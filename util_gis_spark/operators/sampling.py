@@ -133,37 +133,48 @@ def np_density_based_sampling(
     )
 
     # pass 2 is SEQUENTIAL (each force-keep is visible to later scan
-    # positions), but the neighbor lists are precomputed vectorized:
-    # CSR over the dropped points, then one ordered scan
+    # positions), so each chunk's CSR lists are scanned IMMEDIATELY and
+    # discarded — retaining every dropped point's list made memory
+    # O(total neighbor pairs) again (r6 review: a day-long 1 Hz dwell
+    # dropping 90% of points would hold ~6.7e9 int64 indices, the
+    # exact blow-up the chunking exists to bound). The lists are pure
+    # geometry (independent of `keep`) and chunks run in ascending
+    # dropped order, so the keep reads/writes happen in the identical
+    # sequence — bit-identical output, peak memory one chunk of pairs.
     dropped = np.flatnonzero(~keep)
-    if len(dropped):
-        nb_lists: list[np.ndarray] = []
-        for s in range(0, len(dropped), chunk):
-            idx = dropped[s : s + chunk]
-            sp, nb = gi.query(idx)
-            order = np.argsort(sp, kind="stable")
-            sp_s, nb_s = sp[order], nb[order]
-            bounds = np.searchsorted(sp_s, np.arange(len(idx) + 1))
-            nb_lists.extend(nb_s[bounds[k] : bounds[k + 1]] for k in range(len(idx)))
-        for pos, i in enumerate(dropped):
-            if int(keep[nb_lists[pos]].sum()) < min_pts:
+    for s in range(0, len(dropped), chunk):
+        idx = dropped[s : s + chunk]
+        sp, nb = gi.query(idx)
+        order = np.argsort(sp, kind="stable")
+        sp_s, nb_s = sp[order], nb[order]
+        bounds = np.searchsorted(sp_s, np.arange(len(idx) + 1))
+        for k, i in enumerate(idx):
+            if int(keep[nb_s[bounds[k] : bounds[k + 1]]].sum()) < min_pts:
                 keep[i] = True
     return keep
+
+
+def _masked_thin(df_projected: DataFrame, group_cols, mask_fn) -> DataFrame:
+    """ONE wrapper for every thinning operator: (ts, point_id)-sort
+    each trajectory, build a keep-mask from its (n, 2) x/y array,
+    filter (schema unchanged). The four operators below were verbatim
+    copies of this body with only the mask function varying (r6
+    review) — a preamble fix now lands once, as with sorted_with_secs."""
+    schema = df_projected.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, _secs = sorted_with_secs(pdf)
+        return pdf.loc[mask_fn(pdf[["x", "y"]].to_numpy(np.float64))]
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(df_projected, group_cols, run, schema)
 
 
 def simplify_by_angle(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
     """DataFrame form: keep the simplified subset of each trajectory
     (input must carry x/y from project_trajectories and be groupable)."""
-    schema = df_projected.schema
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf, _secs = sorted_with_secs(pdf)
-        mask = np_simplify_by_angle(pdf[["x", "y"]].to_numpy(np.float64))
-        return pdf.loc[mask]
-
-    from .grouped import grouped_apply
-
-    return grouped_apply(df_projected, group_cols, run, schema)
+    return _masked_thin(df_projected, group_cols, np_simplify_by_angle)
 
 
 def douglas_peucker_sampling(
@@ -176,29 +187,11 @@ def douglas_peucker_sampling(
     other thinning operators."""
     from ..geo.geometry import douglas_peucker_mask
 
-    schema = df_projected.schema
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf, _secs = sorted_with_secs(pdf)
-        mask = douglas_peucker_mask(pdf[["x", "y"]].to_numpy(np.float64), tol)
-        return pdf.loc[mask]
-
-    from .grouped import grouped_apply
-
-    return grouped_apply(df_projected, group_cols, run, schema)
+    return _masked_thin(df_projected, group_cols, lambda a: douglas_peucker_mask(a, tol))
 
 
 def fast_distance_sampling(df_projected: DataFrame, group_cols=("device_id",)) -> DataFrame:
-    schema = df_projected.schema
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf, _secs = sorted_with_secs(pdf)
-        mask = np_fast_distance_sampling(pdf[["x", "y"]].to_numpy(np.float64))
-        return pdf.loc[mask]
-
-    from .grouped import grouped_apply
-
-    return grouped_apply(df_projected, group_cols, run, schema)
+    return _masked_thin(df_projected, group_cols, np_fast_distance_sampling)
 
 
 def density_based_sampling(
@@ -211,15 +204,8 @@ def density_based_sampling(
     """DataFrame form of densityBasedSampling (G:7568-7700): keep the
     density-tiered subset of each trajectory (np_density_based_sampling
     over (ts, point_id)-sorted x/y)."""
-    schema = df_projected.schema
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf, _secs = sorted_with_secs(pdf)
-        mask = np_density_based_sampling(
-            pdf[["x", "y"]].to_numpy(np.float64), epsilon, min_pts, max_neighbors
-        )
-        return pdf.loc[mask]
-
-    from .grouped import grouped_apply
-
-    return grouped_apply(df_projected, group_cols, run, schema)
+    return _masked_thin(
+        df_projected,
+        group_cols,
+        lambda a: np_density_based_sampling(a, epsilon, min_pts, max_neighbors),
+    )

@@ -133,14 +133,21 @@ def sessionize_by_time_or_distance(
 ) -> DataFrame:
     """splitClusterByTimeOrDistance (G:3032-3105): cut where EITHER
     the time gap OR the step distance exceeds its bound (OR at
-    G:3075)."""
+    G:3075). A NULL step (mid-stream NULL coordinate) cuts, matching
+    sessionize_by_distance — the two operators segmented identical
+    dirty data differently before (r6 review: NULL > x is NULL, so
+    the old form silently continued the segment)."""
     w = _DEV_W()
     step = haversine_m(
         F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")
     )
     dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     cut = F.when(
-        F.lag("ts").over(w).isNull() | (dt > max_gap_s) | (step > max_dist_m), 1
+        F.lag("ts").over(w).isNull()
+        | (dt > max_gap_s)
+        | step.isNull()
+        | (step > max_dist_m),
+        1,
     ).otherwise(0)
     return df.withColumn("cut", cut).withColumn(
         "seg_id", F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -328,7 +335,8 @@ def heading_changes(df: DataFrame) -> DataFrame:
         "heading",
         heading_deg(F.col("prev_lon"), F.col("prev_lat"), F.col("lon"), F.col("lat")),
     )
+    # least(NULL, NULL) is NULL, so no explicit guard is needed: when d
+    # is NULL (first step), 360.0 - d is NULL too — least's
+    # null-skipping only bites with a MIX of null and non-null operands
     d = F.abs(F.col("heading") - F.lag("heading").over(w))
-    return stepped.withColumn(
-        "heading_change", F.when(d.isNull(), None).otherwise(F.least(d, 360.0 - d))
-    )
+    return stepped.withColumn("heading_change", F.least(d, F.lit(360.0) - d))
