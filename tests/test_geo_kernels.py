@@ -471,3 +471,85 @@ class TestR5NumericCoreHardening:
         odf = duckdb.connect().execute(tile_assignment_sql(src, 16)).df()
         want = sorted(zip(odf["image_key"].astype(int), odf["tile"].astype(int)))
         assert got == want and {k for k, _t in got} == {1}
+
+
+class TestR6GeoReviewRegressions:
+    def test_exterior_closing_keeps_nested_island(self):
+        """A shell nested inside a hole (island) must survive: the old
+        joint even-odd fill put it at parity 2 and erased it."""
+        from util_gis_spark.geo import morphology as M
+
+        mask = np.zeros((60, 60), dtype=bool)
+        mask[5:55, 5:55] = True     # outer block
+        mask[15:45, 15:45] = False  # hole
+        mask[25:35, 25:35] = True   # island inside the hole
+        out = M.exterior_closing(M.Raster(mask, 0.0, 0.0, 0.25), 1.0)
+        assert out.mask[25:35, 25:35].all(), "island erased"
+        # the hole ring (between island and outer block) stays punched
+        assert not out.mask[20, 20] and not out.mask[40, 40]
+        # outer block survives
+        assert out.mask[10, 10] and out.mask[50, 50]
+
+    def test_erode_treats_outside_as_background(self):
+        from util_gis_spark.geo import morphology as M
+
+        full = M.Raster(np.ones((20, 20), dtype=bool), 0.0, 0.0, 1.0)
+        er = M.erode(full, 3.0)
+        assert not er.mask[0, 0] and not er.mask[0, 10] and not er.mask[19, 19]
+        assert er.mask[10, 10]  # interior survives
+
+    def test_next_fast_len(self):
+        from util_gis_spark.geo.morphology import _next_fast_len
+
+        for n in (1, 2, 6, 7, 97, 257, 1031, 4097, 123457):
+            m = _next_fast_len(n)
+            assert m >= n
+            k = m
+            for p in (2, 3, 5):
+                while k % p == 0:
+                    k //= p
+            assert k == 1, (n, m)
+        assert _next_fast_len(97) <= 100  # finds 100, not 128
+
+    def test_parse_wkt_strictness(self):
+        # bare-ring POLYGON body must degrade, not emit 1-point rings
+        assert parse_wkt("POLYGON (0 0, 10 0, 10 10, 0 10, 0 0)")[0] == "EMPTY"
+        # multi-pair POINT must degrade, not keep the first pair
+        assert parse_wkt("POINT (1 2, 3 4)")[0] == "EMPTY"
+        # unparenthesized MULTIPOLYGON part must degrade
+        assert parse_wkt("MULTIPOLYGON (0 0, 1 0, 1 1, 0 0)")[0] == "EMPTY"
+        # well-formed inputs still parse
+        t, rings = parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        assert t == "POLYGON" and len(rings) == 1 and len(rings[0]) == 5
+        t, pt = parse_wkt("POINT (1 2)")
+        assert t == "POINT" and pt[0] == 1.0 and pt[1] == 2.0
+
+    def test_collinear_ring_not_convex(self):
+        from util_gis_spark.geo.geometry import is_convex_ring
+
+        assert not is_convex_ring(np.array([[0.0, 0.0], [2.0, 2.0], [1.0, 1.0], [0.0, 0.0]]))
+        assert is_convex_ring(np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]))
+
+    def test_unified_zone_ignores_nan_lon(self, spark):
+        """One NaN lon must not poison the whole batch's projection
+        (floor(NaN) -> int64 clipped to zone 1 projected valid rows
+        ~180 degrees off)."""
+        import math
+
+        from util_gis_spark.operators.projection import project_trajectories
+
+        rows = [(1, f"2024-01-01 00:00:{s:02d}", 117.0 + s * 1e-5, 40.0, s) for s in range(5)]
+        clean = spark.createDataFrame(
+            rows, "device_id long, ts string, lon double, lat double, point_id long"
+        ).selectExpr("device_id", "CAST(ts AS timestamp) AS ts", "lon", "lat", "point_id")
+        dirty = spark.createDataFrame(
+            rows + [(1, "2024-01-01 00:01:00", float("nan"), 40.0, 99)],
+            "device_id long, ts string, lon double, lat double, point_id long",
+        ).selectExpr("device_id", "CAST(ts AS timestamp) AS ts", "lon", "lat", "point_id")
+        want = {r["point_id"]: (r["x"], r["y"]) for r in project_trajectories(clean).collect()}
+        got = {r["point_id"]: (r["x"], r["y"]) for r in project_trajectories(dirty).collect()}
+        for pid, xy in want.items():
+            assert got[pid] == xy, pid
+        # the NaN row itself projects to no value (NaN through Arrow
+        # surfaces as NULL)
+        assert got[99][0] is None or math.isnan(got[99][0])

@@ -50,7 +50,12 @@ _J = np.arange(1, 7, dtype=np.float64)
 
 
 def zone_from_lon(lon) -> np.ndarray:
-    """zone = floor((lon+180)/6)+1, clamped to [1,60] (G:11592)."""
+    """zone = floor((lon+180)/6)+1, clamped to [1,60] (G:11592).
+    NaN input is the CALLER's to filter: floor(NaN) cast to int64 is
+    undefined (in practice INT64_MIN, which the clip turns into zone 1
+    — silently wrong, not an error). project_trajectories computes its
+    unified-zone extent over finite lons only for exactly this
+    reason."""
     z = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 6.0).astype(np.int64) + 1
     return np.clip(z, 1, 60)
 
@@ -156,37 +161,42 @@ def gauss_forward_sql(src: str, lon: str = "lon", lat: str = "lat", zone: str = 
     """ANSI-SQL twin of gauss_forward for the DuckDB oracle: the same
     6th-order Krüger series, with the hyperbolics spelled as exp/ln
     (atanh(u) = ln((1+u)/(1-u))/2, sinh/cosh = (e^v -/+ e^-v)/2,
-    asinh(u) = ln(u + sqrt(u^2+1))). `src` must provide lon/lat/zone;
-    the result appends x, y (Gauss meters). Agreement with the numpy
-    kernel is sub-nanometer (both are IEEE double evaluations of the
-    identical series), so rounded downstream aggregates hash-match."""
+    asinh(u) = ln(u + sqrt(u^2+1))). `src` must provide lon/lat/zone
+    and must NOT already carry columns named x, y, or any `_g_*` name:
+    SELECT-list duplicates dedup to x_1/... in DuckDB, so a stale src
+    x would silently survive as the output `x` (r6 review — the
+    intermediates now carry a `_g_` prefix so ordinary src columns
+    like t/u/xi can no longer collide). The result appends x, y
+    (Gauss meters). Agreement with the numpy kernel is sub-nanometer
+    (both are IEEE double evaluations of the identical series), so
+    rounded downstream aggregates hash-match."""
     e = repr(float(_E))
     abar = repr(float(_A_BAR))
     alpha = [repr(float(a)) for a in _ALPHA]
     xi_terms = " ".join(
-        f"+ {alpha[j - 1]}*sin(2*{j}*xip)*(exp(2*{j}*etap)+exp(-2*{j}*etap))/2.0"
+        f"+ {alpha[j - 1]}*sin(2*{j}*_g_xip)*(exp(2*{j}*_g_etap)+exp(-2*{j}*_g_etap))/2.0"
         for j in range(1, 7)
     )
     eta_terms = " ".join(
-        f"+ {alpha[j - 1]}*cos(2*{j}*xip)*(exp(2*{j}*etap)-exp(-2*{j}*etap))/2.0"
+        f"+ {alpha[j - 1]}*cos(2*{j}*_g_xip)*(exp(2*{j}*_g_etap)-exp(-2*{j}*_g_etap))/2.0"
         for j in range(1, 7)
     )
     return f"""
-SELECT * EXCLUDE (dlam, sphi, u, t, cdl, sdl, xip, etap, xi, eta),
-       {abar}*eta + {zone}*1e6 + 5e5 AS x,
-       {abar}*xi AS y
+SELECT * EXCLUDE (_g_dlam, _g_sphi, _g_u, _g_t, _g_cdl, _g_sdl, _g_xip, _g_etap, _g_xi, _g_eta),
+       {abar}*_g_eta + {zone}*1e6 + 5e5 AS x,
+       {abar}*_g_xi AS y
 FROM (
-  SELECT *, xip {xi_terms} AS xi, etap {eta_terms} AS eta
+  SELECT *, _g_xip {xi_terms} AS _g_xi, _g_etap {eta_terms} AS _g_eta
   FROM (
-    SELECT *, atan2(t, cdl) AS xip,
-           ln(sdl/sqrt(t*t+cdl*cdl) + sqrt(sdl*sdl/(t*t+cdl*cdl) + 1.0)) AS etap
+    SELECT *, atan2(_g_t, _g_cdl) AS _g_xip,
+           ln(_g_sdl/sqrt(_g_t*_g_t+_g_cdl*_g_cdl) + sqrt(_g_sdl*_g_sdl/(_g_t*_g_t+_g_cdl*_g_cdl) + 1.0)) AS _g_etap
     FROM (
-      SELECT *, (exp(u)-exp(-u))/2.0 AS t, cos(dlam) AS cdl, sin(dlam) AS sdl
+      SELECT *, (exp(_g_u)-exp(-_g_u))/2.0 AS _g_t, cos(_g_dlam) AS _g_cdl, sin(_g_dlam) AS _g_sdl
       FROM (
-        SELECT *, 0.5*ln((1+sphi)/(1-sphi)) - {e}*0.5*ln((1+{e}*sphi)/(1-{e}*sphi)) AS u
+        SELECT *, 0.5*ln((1+_g_sphi)/(1-_g_sphi)) - {e}*0.5*ln((1+{e}*_g_sphi)/(1-{e}*_g_sphi)) AS _g_u
         FROM (
-          SELECT *, radians({lon} - (({zone}-1)*6.0 - 180.0 + 3.0)) AS dlam,
-                 least(greatest(sin(radians({lat})), -{repr(_SPHI_MAX)}), {repr(_SPHI_MAX)}) AS sphi
+          SELECT *, radians({lon} - (({zone}-1)*6.0 - 180.0 + 3.0)) AS _g_dlam,
+                 least(greatest(sin(radians({lat})), -{repr(_SPHI_MAX)}), {repr(_SPHI_MAX)}) AS _g_sphi
           FROM ({src})
         )
       )

@@ -43,6 +43,18 @@ def _parse_ring(text: str) -> np.ndarray:
     return np.array(pts, dtype=np.float64)
 
 
+def _parse_paren_ring(part: str) -> np.ndarray:
+    """A POLYGON/MULTILINESTRING ring element must itself be
+    parenthesized: 'POLYGON (0 0, 10 0, ...)' without inner parens
+    previously parsed as one 1-point ring per pair and flowed through
+    as silently-wrong containment instead of degrading to EMPTY
+    (r6 review)."""
+    p = part.strip()
+    if not (p.startswith("(") and p.endswith(")")):
+        raise ValueError(f"WKT ring not parenthesized: {p[:40]!r}")
+    return _parse_ring(p[1:-1])
+
+
 def _split_top_level(body: str) -> list[str]:
     """Split a parenthesized list body on top-level commas."""
     parts, depth, start = [], 0, 0
@@ -81,20 +93,27 @@ def parse_wkt(wkt: str):
     body = rest[1:-1]
     try:
         if typ == "POINT":
-            return typ, _parse_ring(body)[0]
+            pts = _parse_ring(body)
+            if len(pts) != 1:
+                # 'POINT (1 2, 3 4)' previously flowed through as
+                # (1, 2), silently dropping the extra pair (r6 review)
+                raise ValueError("POINT body must be exactly one pair")
+            return typ, pts[0]
         if typ in ("LINESTRING", "MULTIPOINT"):
             return typ, _parse_ring(body)
         if typ == "POLYGON":
-            rings = [_parse_ring(r.strip().strip("()")) for r in _split_top_level(body)]
-            return typ, rings
+            return typ, [_parse_paren_ring(r) for r in _split_top_level(body)]
         if typ == "MULTILINESTRING":
-            return typ, [_parse_ring(r.strip().strip("()")) for r in _split_top_level(body)]
+            return typ, [_parse_paren_ring(r) for r in _split_top_level(body)]
         if typ == "MULTIPOLYGON":
             polys = []
             for poly in _split_top_level(body):
                 inner = poly.strip()
-                inner = inner[1:-1] if inner.startswith("(") else inner
-                polys.append([_parse_ring(r.strip().strip("()")) for r in _split_top_level(inner)])
+                if not (inner.startswith("(") and inner.endswith(")")):
+                    raise ValueError("MULTIPOLYGON part not parenthesized")
+                polys.append(
+                    [_parse_paren_ring(r) for r in _split_top_level(inner[1:-1])]
+                )
             return typ, polys
         if typ == "GEOMETRYCOLLECTION":
             return typ, [parse_wkt(g.strip()) for g in _split_top_level(body)]
@@ -185,7 +204,16 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
 
 def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """True iff point lies exactly on a ring edge (zero cross product
-    and within the segment's bbox)."""
+    and within the segment's bbox).
+
+    DELIBERATE float semantics: `cross == 0.0` is exact, so a point
+    mathematically on a non-axis-aligned edge whose cross product
+    rounds to ~1e-17 is treated as off-boundary and falls to ray-cast
+    parity. JTS uses robust orientation there; this engine instead
+    keeps the SAME double arithmetic as its DuckDB/Spark SQL twins so
+    both engines classify every point identically — the oracle-parity
+    contract outranks vertex-exact JTS boundary fidelity here (the
+    known divergence is documented in NOTES/COVERAGE)."""
     x1, y1, x2, y2 = _ring_edges(ring)
     px = np.asarray(px, dtype=np.float64)[:, None]
     py = np.asarray(py, dtype=np.float64)[:, None]
@@ -266,7 +294,11 @@ def is_convex_ring(ring: np.ndarray) -> bool:
     cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
     cross = np.append(cross, v[-1, 0] * v[0, 1] - v[-1, 1] * v[0, 0])
     nz = cross[np.abs(cross) > 0]
-    return bool(len(nz) == 0 or (nz > 0).all() or (nz < 0).all())
+    # fully-collinear (zero-area) rings are NOT convex: returning True
+    # here let the exact convex-clip fast path run with a degenerate
+    # clip ring and emit zero-area POLYGON WKT instead of degrading to
+    # EMPTY via the general path (r6 review)
+    return bool(len(nz) > 0 and ((nz > 0).all() or (nz < 0).all()))
 
 
 def _ensure_ccw(ring: np.ndarray) -> np.ndarray:

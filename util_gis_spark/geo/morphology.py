@@ -100,12 +100,32 @@ def _disk(r_px: float) -> np.ndarray:
     return (xx * xx + yy * yy) <= r_px * r_px + 1e-9
 
 
+def _next_fast_len(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) integer >= n — awkward
+    (large-prime-factor) FFT sizes cost severalfold on the hot
+    dilate/erode path (r6 review: the old comment promised this and
+    the code passed raw sizes)."""
+    if n <= 6:
+        return max(n, 1)
+    best = 1 << (n - 1).bit_length()  # pow2 upper bound
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            q = -(-n // p35)  # ceil(n / p35)
+            cand = (1 << max((q - 1).bit_length(), 0)) * p35
+            if n <= cand < best:
+                best = cand
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
 def _convolve_bool(mask: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     """FFT binary convolution -> hit-count grid thresholded at >=1."""
     my, mx = mask.shape
     ky, kx = kernel.shape
-    fy, fx = my + ky - 1, mx + kx - 1
-    # next fast sizes (powers of small primes are fine; use next pow2-ish)
+    fy, fx = _next_fast_len(my + ky - 1), _next_fast_len(mx + kx - 1)
     # float64 throughout: with ~4M-cell masks and large disk kernels
     # the spectrum magnitudes reach ~1e9, where float32 rounding can
     # push exact-integer convolution counts across the 0.5 threshold
@@ -133,8 +153,18 @@ def dilate(r: Raster, dist_m: float) -> Raster:
 def erode(r: Raster, dist_m: float) -> Raster:
     if dist_m <= 0:
         return r
-    inv = ~r.mask
-    return Raster(~_convolve_bool(inv, _disk(max(dist_m / r.g - 0.5, 0.0))), r.x0, r.y0, r.g)
+    # pad the inverted mask with BACKGROUND (inv=True) before the FFT:
+    # zero-padding treated everything outside the grid as foreground,
+    # so a mask touching the raster edge was never eroded there
+    # (r6 review: erode(all-ones, 3) returned the mask unchanged).
+    # No-op for callers whose masks sit >= kernel-radius inside the
+    # frame — every in-repo pipeline pads that much.
+    k = _disk(max(dist_m / r.g - 0.5, 0.0))
+    py, px = k.shape[0] // 2, k.shape[1] // 2
+    inv = np.pad(~r.mask, ((py, py), (px, px)), constant_values=True)
+    er = ~_convolve_bool(inv, k)
+    my, mx = r.mask.shape
+    return Raster(er[py : py + my, px : px + mx], r.x0, r.y0, r.g)
 
 
 def closing(r: Raster, p_m: float) -> Raster:
@@ -164,7 +194,6 @@ def exterior_closing(r: Raster, d_m: float) -> Raster:
     shell-filled mask only, then the original holes are punched back."""
     rings = trace_rings(r)
     shells = [ring for ring, s in rings if s]
-    holes = [ring for ring, s in rings if not s]
     if not shells:
         return r
     # pad the working grid by the closing distance: clipped at the
@@ -174,13 +203,21 @@ def exterior_closing(r: Raster, d_m: float) -> Raster:
     extra = int(np.ceil(d_m / r.g)) + 2
     x0p, y0p = r.x0 - extra * r.g, r.y0 - extra * r.g
     nxp, nyp = nx + 2 * extra, ny + 2 * extra
-    shell_mask = rasterize_rings(shells, x0p, y0p, nxp, nyp, r.g)
+    # fill each shell SEPARATELY and union: one joint even-odd pass
+    # put a shell nested inside a hole (an island) at parity 2 and
+    # silently erased it (r6 review, verified on an annulus+island)
+    shell_mask = np.zeros((nyp, nxp), dtype=bool)
+    for sh in shells:
+        shell_mask |= rasterize_rings([sh], x0p, y0p, nxp, nyp, r.g)
     closed_mask = closing(Raster(shell_mask, x0p, y0p, r.g), d_m).mask
     # crop back to the caller's frame: padding is an internal detail
     closed_mask = closed_mask[extra : extra + ny, extra : extra + nx]
-    if holes:
-        hole_mask = rasterize_rings(holes, r.x0, r.y0, nx, ny, r.g)
-        closed_mask = closed_mask & ~hole_mask
+    # punch the ORIGINAL holes back as (filled shells) minus (original
+    # foreground): exactly the hole areas at every nesting depth —
+    # rasterizing the hole rings jointly had the same parity trap, and
+    # per-hole fills would re-erase islands sitting inside holes
+    shell_crop = shell_mask[extra : extra + ny, extra : extra + nx]
+    closed_mask &= ~(shell_crop & ~r.mask)
     return Raster(closed_mask, r.x0, r.y0, r.g)
 
 
@@ -316,8 +353,26 @@ def rings_to_polygons(rings: list[tuple[np.ndarray, bool]]) -> list[list[np.ndar
                     break
             if attached:
                 break
-        if not attached and len(polys) == 1:
-            polys[0].append(hole)
+        if not attached:
+            if len(polys) == 1:
+                polys[0].append(hole)
+            else:
+                # multi-shell last resort (r6 review: the single-shell
+                # branch alone silently filled such holes solid): the
+                # smallest shell whose bbox contains the hole's bbox
+                # is the containing shell whenever DP simplification
+                # pulled it inward across every hole vertex; fall back
+                # to the largest shell if none qualifies
+                hx0, hy0 = hole.min(axis=0)
+                hx1, hy1 = hole.max(axis=0)
+                target = len(shells) - 1  # largest (sorted smallest-first)
+                for i, (shell, _a) in enumerate(shells):
+                    sx0, sy0 = shell.min(axis=0)
+                    sx1, sy1 = shell.max(axis=0)
+                    if sx0 <= hx0 and hx1 <= sx1 and sy0 <= hy0 and hy1 <= sy1:
+                        target = i
+                        break
+                polys[target].append(hole)
     # emit largest-first (stable, reference sorts by area where relevant)
     order = np.argsort([-abs_area(p[0]) for p in polys])
     return [polys[i] for i in order]
