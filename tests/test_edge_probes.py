@@ -133,3 +133,66 @@ class TestKnnAndTextEdges:
         empty = spark.createDataFrame([], "vec_id long, label long, embedding array<float>")
         assert ann_lsh_topk(empty).count() == 0
         assert ann_ivf_topk(empty).count() == 0
+
+
+class TestR6JoinPlotRegressions:
+    def test_nan_probe_gets_null_nearest_in_all_flavors(self, spark):
+        """A NaN-coordinate probe must get a NULL nearest in every kNN
+        strategy (r6 review: broadcast/grid argmin over an all-NaN
+        distance row claimed the first candidate as nearest while the
+        cells flavor emitted NULL)."""
+        from util_gis_spark.operators.joins import (
+            knn_join_broadcast,
+            knn_join_cells,
+            knn_join_grid,
+        )
+
+        probes = spark.createDataFrame(
+            [(1, 116.0, 39.5), (2, float("nan"), 39.5), (3, 116.1, float("nan"))],
+            "probe_id long, lon double, lat double",
+        )
+        cands = [(7, 116.01, 39.51), (8, 116.2, 39.6)]
+        cands_df = spark.createDataFrame(cands, "cand_id long, lon double, lat double")
+        for name, out in (
+            ("broadcast", knn_join_broadcast(probes, cands, probe_id_col="probe_id")),
+            ("grid", knn_join_grid(probes, cands)),
+            ("cells", knn_join_cells(probes, cands_df)),
+        ):
+            rows = {r["probe_id"]: r for r in out.collect()}
+            assert rows[1]["nearest_id"] == 7, name
+            assert rows[2]["nearest_id"] is None, name
+            assert rows[3]["nearest_id"] is None, name
+
+    def test_split_road_rejects_phantom_option(self, spark):
+        import pytest
+
+        from util_gis_spark.operators.plots import split_road
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 116.0, 39.5, 1)],
+            "device_id long, ts string, lon double, lat double, point_id long",
+        ).selectExpr("device_id", "CAST(ts AS timestamp) AS ts", "lon", "lat", "point_id")
+        # the reference declares MAX_RETURN_CLUSTERS but never reads
+        # it; the allowlist entry let this through to an executor crash
+        with pytest.raises(TypeError, match="max_return_clusters"):
+            split_road(df, working_width=3.0, max_return_clusters=5)
+
+    def test_null_device_id_group_yields_no_plots(self, spark):
+        import datetime as dt
+
+        from util_gis_spark.operators.plots import get_farm_plot, split_road
+
+        rows = [
+            (None, dt.datetime(2024, 1, 1, 0, 0, s), 116.0 + s * 1e-5, 39.5, s)
+            for s in range(5)
+        ] + [
+            (2, dt.datetime(2024, 1, 1, 0, 0, s), 116.0 + s * 1e-5, 39.5, 100 + s)
+            for s in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "device_id long, ts timestamp, lon double, lat double, point_id long"
+        )
+        # must not crash on np.int64(None); the NULL group emits nothing
+        for op in (lambda d: get_farm_plot(d, 3.0), lambda d: split_road(d, 3.0)):
+            got = op(df).collect()
+            assert all(r["device_id"] is not None for r in got)

@@ -258,3 +258,16 @@ def unified_zone(lon_min: float, lon_max: float) -> int:
     (G:12411-12422): whole trajectory projected in one zone to avoid
     cross-zone seams."""
     return int(zone_from_lon((lon_min + lon_max) / 2.0))
+
+
+def unified_zone_of(lon: np.ndarray) -> int:
+    """unified_zone over an array's FINITE extent — the ONE NaN-safe
+    form every per-group projection kernel must use (r6 review: two
+    call sites computed the extent from raw min/max, so one NaN lon
+    clipped the zone to 1 and silently projected the whole batch ~180
+    degrees off). All-NaN input returns zone 1; the forward projection
+    of those rows is NaN anyway."""
+    finite = lon[np.isfinite(lon)]
+    if len(finite) == 0:
+        return 1
+    return unified_zone(float(finite.min()), float(finite.max()))

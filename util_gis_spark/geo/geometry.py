@@ -43,6 +43,26 @@ def _parse_ring(text: str) -> np.ndarray:
     return np.array(pts, dtype=np.float64)
 
 
+def geom_polys(parsed) -> list:
+    """Polygonal parts of a parse_wkt result as a list of ring lists
+    (POLYGON -> [rings]; MULTIPOLYGON -> its parts; collections ->
+    their polygonal members, recursively). The ONE flattener — joins'
+    PIP classification and geometry_ops' intersection/union both
+    import it (r6 review: two identical copies had grown and could
+    drift)."""
+    typ, data = parsed
+    if typ == "POLYGON":
+        return [data]
+    if typ == "MULTIPOLYGON":
+        return list(data)
+    if typ == "GEOMETRYCOLLECTION":
+        out = []
+        for sub in data:
+            out.extend(geom_polys(sub))
+        return out
+    return []
+
+
 def _parse_paren_ring(part: str) -> np.ndarray:
     """A POLYGON/MULTILINESTRING ring element must itself be
     parenthesized: 'POLYGON (0 0, 10 0, ...)' without inner parens

@@ -35,18 +35,9 @@ from ..geo.geometry import (
 from ..geo.sphere import calc_mu, np_polygon_area_m2
 
 
-def _geom_polys(parsed) -> list[list[np.ndarray]]:
-    typ, data = parsed
-    if typ == "POLYGON":
-        return [data]
-    if typ == "MULTIPOLYGON":
-        return list(data)
-    if typ == "GEOMETRYCOLLECTION":
-        out = []
-        for sub in data:
-            out.extend(_geom_polys(sub))
-        return out
-    return []
+# the shared flattener lives next to parse_wkt (r6 review: this module
+# and joins.py carried identical copies)
+from ..geo.geometry import geom_polys as _geom_polys  # noqa: E402
 
 
 _MAX_CELLS = 4_000_000  # raster budget: bounds memory + trace cost
@@ -67,10 +58,15 @@ def _adaptive_grid(allc: np.ndarray, grid_m: float):
     return x0, y0, nx, ny, g
 
 
-def np_intersection_mu(wkt_a: str, wkt_b: str, grid_m: float = 0.25) -> tuple[str, float]:
+def np_intersection_mu(wkt_a, wkt_b, grid_m: float = 0.25) -> tuple[str, float]:
     """(intersection WKT, mu). Exact convex-clip fast path, raster
-    fallback; (empty, 0.0) on invalid/disjoint input."""
-    pa, pb = parse_wkt(wkt_a), parse_wkt(wkt_b)
+    fallback; (empty, 0.0) on invalid/disjoint input. Either side may
+    be a WKT string or an already-parsed `parse_wkt` tuple — callers
+    with a CONSTANT side (intersect_with_clip) parse it once instead
+    of per row (r6 review: re-parsing the clip cost O(rows x clip
+    vertices) of regex work)."""
+    pa = wkt_a if isinstance(wkt_a, tuple) else parse_wkt(wkt_a)
+    pb = wkt_b if isinstance(wkt_b, tuple) else parse_wkt(wkt_b)
     polys_a, polys_b = _geom_polys(pa), _geom_polys(pb)
     if not polys_a or not polys_b:
         return "MULTIPOLYGON EMPTY", 0.0
@@ -227,14 +223,15 @@ def np_mutual_difference(wkts: list[str], grid_m: float = 0.25) -> list[tuple[st
         for rings in pp:
             m |= M.rasterize_rings(rings, x0, y0, nx, ny, g)
         masks.append(m)
-    out = []
-    for i, m in enumerate(masks):
-        others = np.zeros((ny, nx), dtype=bool)
-        for j, mo in enumerate(masks):
-            if j != i:
-                others |= mo
-        out.append(_mask_to_wkt_mu(m & ~others, x0, y0, g, zone))
-    return out
+    # coverage count replaces the per-geometry union-of-others rebuild
+    # (r6 review: O(n^2 x pixels) -> O(n x pixels)): within mask i,
+    # cover >= 1 always, and cover == 1 iff no OTHER mask covers the
+    # cell — identical to m & ~union(others), bit for bit
+    cover = np.zeros((ny, nx), dtype=np.int32)
+    for m in masks:
+        cover += m
+    only_one = cover == 1
+    return [_mask_to_wkt_mu(m & only_one, x0, y0, g, zone) for m in masks]
 
 
 MIN_FRAGMENT_MU = 0.1  # G:1649/1843: fragments below this are dropped
@@ -360,9 +357,11 @@ def intersect_with_clip(df: DataFrame, clip_wkt: str, wkt_col: str = "wkt") -> D
         + [T.StructField("inter_wkt", T.StringType()), T.StructField("inter_mu", T.DoubleType())]
     )
 
+    clip_parsed = parse_wkt(clip_wkt)  # constant side: parse ONCE (r6 review)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = [np_intersection_mu(w, clip_wkt) for w in pdf[wkt_col]]
+            res = [np_intersection_mu(w, clip_parsed) for w in pdf[wkt_col]]
             out = pdf.copy()
             out["inter_wkt"] = [r[0] for r in res]
             out["inter_mu"] = [r[1] for r in res]

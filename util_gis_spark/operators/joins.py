@@ -121,21 +121,9 @@ def pip_join_broadcast(
     return points_df.mapInPandas(refine, schema=schema)
 
 
-def _polys_from_parsed(parsed) -> list:
-    """Polygonal parts of a parsed geometry as a list of ring lists
-    (POLYGON -> [rings]; MULTIPOLYGON -> its parts; collections ->
-    their polygonal members)."""
-    typ, data = parsed
-    if typ == "POLYGON":
-        return [data]
-    if typ == "MULTIPOLYGON":
-        return list(data)
-    if typ == "GEOMETRYCOLLECTION":
-        out = []
-        for sub in data:
-            out.extend(_polys_from_parsed(sub))
-        return out
-    return []
+# the shared flattener lives next to parse_wkt (r6 review: this module
+# and geometry_ops.py carried identical copies)
+from ..geo.geometry import geom_polys as _polys_from_parsed  # noqa: E402
 
 
 def _edge_parts_from_parsed(parsed) -> list[list[tuple[float, float, float, float]]]:
@@ -559,20 +547,33 @@ def knn_join_broadcast(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            px = pdf[lon_col].to_numpy(np.float64)[:, None]
-            py = pdf[lat_col].to_numpy(np.float64)[:, None]
-            d = np_haversine(px, py, clon[None, :], clat[None, :])
-            j = np.argmin(d, axis=1)
-            dist = d[np.arange(len(pdf)), j]
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            # non-finite probes get a NULL nearest, matching the cells
+            # flavor's empty-ring rows — an all-NaN distance row made
+            # argmin return 0, claiming cid[0] as nearest (r6 review:
+            # the three strategies must agree on dirty probes)
+            good = np.isfinite(px) & np.isfinite(py)
+            nid = pd.Series(np.zeros(len(pdf), dtype=np.int64), dtype="Int64")
+            dist = np.full(len(pdf), np.nan)
+            if good.any():
+                d = np_haversine(
+                    px[good][:, None], py[good][:, None], clon[None, :], clat[None, :]
+                )
+                j = np.argmin(d, axis=1)
+                nid[good] = cid[j]
+                dist[good] = d[np.arange(int(good.sum())), j]
+            nid[~good] = pd.NA
             out = pd.DataFrame(
                 {
                     "probe_id": pdf[probe_id_col].to_numpy(np.int64),
-                    "nearest_id": cid[j],
+                    "nearest_id": nid,
                     "dist_m": dist,
                 }
             )
+            out.loc[~good, "dist_m"] = None
             if max_dist_m is not None:
-                out = out[out["dist_m"] <= max_dist_m]
+                out = out[good & (out["dist_m"] <= max_dist_m)]
             yield out
 
     return probes_df.select(probe_id_col, lon_col, lat_col).mapInPandas(nearest, schema=schema)
@@ -957,8 +958,12 @@ def _grid_nearest_all(plon, plat, idx, max_levels: int):
         if not len(todo):
             break
     if len(todo):
-        for s in range(0, len(todo), 4096):
-            blk = todo[s : s + 4096]
+        # block rows sized to a ~2^22-element distance matrix (32 MB
+        # float64): the old fixed 4096-row block at 2M candidates
+        # allocated a ~65 GB matrix and OOM'd the executor (r6 review)
+        blk_rows = int(max(min(4096, (1 << 22) // max(len(cid), 1)), 1))
+        for s in range(0, len(todo), blk_rows):
+            blk = todo[s : s + blk_rows]
             d = np_haversine(
                 plon[blk][:, None], plat[blk][:, None], clon[None, :], clat[None, :]
             )
@@ -1055,16 +1060,26 @@ def knn_join_grid(
                 continue
             plon = pdf[lon_col].to_numpy(np.float64)
             plat = pdf[lat_col].to_numpy(np.float64)
-            out_id, out_d = _grid_nearest_all(plon, plat, ix, max_levels)
+            # same dirty-probe contract as knn_join_broadcast/cells:
+            # non-finite coords -> NULL nearest (r6 review)
+            good = np.isfinite(plon) & np.isfinite(plat)
+            nid = pd.Series(np.zeros(len(pdf), dtype=np.int64), dtype="Int64")
+            dist = np.full(len(pdf), np.nan)
+            if good.any():
+                gid, gd = _grid_nearest_all(plon[good], plat[good], ix, max_levels)
+                nid[good] = gid
+                dist[good] = gd
+            nid[~good] = pd.NA
             out = pd.DataFrame(
                 {
                     "probe_id": pdf[probe_id_col].to_numpy(np.int64),
-                    "nearest_id": out_id,
-                    "dist_m": out_d,
+                    "nearest_id": nid,
+                    "dist_m": dist,
                 }
             )
+            out.loc[~good, "dist_m"] = None
             if max_dist_m is not None:
-                out = out[out["dist_m"] <= max_dist_m]
+                out = out[good & (out["dist_m"] <= max_dist_m)]
             yield out
 
     return probes_df.select(probe_id_col, lon_col, lat_col).mapInPandas(nearest, schema=schema)

@@ -294,7 +294,10 @@ def _algorithm1_resegment(
     return out
 
 
-MU_PER_M2_PLANAR = 3.0 / 2000.0  # reference gates on planar getArea * this
+# reference gates on planar getArea * SQUARE_TO_MU_METER — the SAME
+# constant as the spherical mu path; alias it from the one definition
+# (geo.sphere) instead of re-hardcoding 3/2000 here (r6 review)
+from ..geo.sphere import MU_PER_M2 as MU_PER_M2_PLANAR  # noqa: E402
 
 
 def _has_time_overlap(plots: list[dict]) -> bool:
@@ -457,7 +460,7 @@ def _traj_arrays(pdf: pd.DataFrame):
         return np.zeros((0, 2)), ts_s, 0
     lon = pdf["lon"].to_numpy(np.float64)
     lat = pdf["lat"].to_numpy(np.float64)
-    zone = gauss.unified_zone(float(lon.min()), float(lon.max()))
+    zone = gauss.unified_zone_of(lon)
     x, y, _ = gauss.gauss_forward(lon, lat, zone=zone)
     return np.column_stack([x, y]), ts_s, zone
 
@@ -467,6 +470,11 @@ def get_farm_plot(points_df: DataFrame, working_width: float) -> DataFrame:
     quality-filtered WGS84 points with device_id/ts/lon/lat)."""
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if key[0] is None:
+            # a NULL device_id is not a device: emit no plots instead
+            # of crashing the stage on np.int64(None) (r6 review; same
+            # degrade-never-crash rule as sorted_with_secs' NULL ts)
+            return _plots_to_pdf(0, [])
         xy, ts_s, zone = _traj_arrays(pdf)
         plots = build_farm_plot(xy, ts_s, zone, working_width)
         return _plots_to_pdf(key[0], plots)
@@ -476,11 +484,16 @@ def get_farm_plot(points_df: DataFrame, working_width: float) -> DataFrame:
     return grouped_apply(points_df, ["device_id"], run, PLOT_SCHEMA)
 
 
+# NOTE no max_return_clusters: the reference DECLARES
+# MAX_RETURN_CLUSTERS = 30 (GisUtil.java:432) with javadoc describing
+# an eps/minPts re-cluster retry, but never reads the field anywhere in
+# its logic — the allowlist briefly carried the option, which passed
+# the eager check and then crashed every executor task as an unknown
+# kwarg (r6 review)
 SPLIT_ROAD_OPTIONS = {
     "grid_m",
     "min_return_points",
     "min_return_mu",
-    "max_return_clusters",
     "algorithm",
 }
 
@@ -495,6 +508,8 @@ def split_road(points_df: DataFrame, working_width: float, **kw) -> DataFrame:
         raise TypeError(f"split_road: unknown option(s) {sorted(unknown)}")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if key[0] is None:  # NULL device: no plots, never crash (r6 review)
+            return _plots_to_pdf(0, [])
         xy, ts_s, zone = _traj_arrays(pdf)
         plots = build_split_road_plots(xy, ts_s, zone, working_width, **kw)
         return _plots_to_pdf(key[0], plots)

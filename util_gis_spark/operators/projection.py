@@ -38,16 +38,9 @@ def project_trajectories(df: DataFrame, group_cols: Iterable[str] = ("device_id"
     def project(pdf: pd.DataFrame) -> pd.DataFrame:
         lon = pdf["lon"].to_numpy(np.float64)
         lat = pdf["lat"].to_numpy(np.float64)
-        # zone extent over FINITE lons only: one NaN made the extent
-        # NaN, and floor(NaN)->int64 lands at INT64_MIN -> clips to
-        # zone 1, silently projecting every valid row of the batch
-        # ~180 deg off (r6 review). NaN rows themselves still come out
-        # as NaN x/y from the forward kernel.
-        finite = lon[np.isfinite(lon)]
-        if len(finite):
-            zone = gauss.unified_zone(float(finite.min()), float(finite.max()))
-        else:
-            zone = 1  # no finite lon in the batch: x/y are all-NaN anyway
+        # NaN-safe unified zone (r6 review): one NaN lon must not clip
+        # the whole batch's zone to 1 — see gauss.unified_zone_of
+        zone = gauss.unified_zone_of(lon)
         x, y, z = gauss.gauss_forward(lon, lat, zone=zone)
         out = pdf.copy()
         out["x"] = x
