@@ -1108,3 +1108,49 @@ class TestR4TrajectoryPlotsRegressions:
         )
         with _pytest.raises(TypeError, match="unknown option"):
             split_road(df, 3.0, algorithmm=1)
+
+
+class TestR6DedupImagesRegressions:
+    def test_vertical_tab_tokenizes_identically_across_engines(self, spark):
+        """RE2's \\s misses \\x0B while Java/Python \\s include it —
+        the oracle regex now spells the class explicitly (r6 review).
+        'a\\x0Bb' must tokenize to ['a','b'] in Spark, the kernel
+        tokenizer, AND DuckDB."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from util_gis_spark.operators.dedup import _tokens, _toks, _toks_sql
+
+        text = "a\x0bb  c"
+        want = ["a", "b", "c"]
+        assert _tokens(text) == want
+        got_spark = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(_toks("text").alias("t"))
+            .first()["t"]
+        )
+        assert list(got_spark) == want
+        got_duck = (
+            duckdb.connect()
+            .execute(f"SELECT {_toks_sql('t')} FROM (SELECT ? AS t)", [text])
+            .fetchone()[0]
+        )
+        assert list(got_duck) == want
+
+    def test_caption_checker_catches_null_flips_and_drops(self, spark):
+        """The invariant checker must flag NULL->value corruption,
+        value->NULL corruption, and dropped rows (r6 review: the old
+        inner join + NULL-propagating != passed on all three)."""
+        from util_gis_spark.operators.images import caption_byte_equality
+
+        src = spark.createDataFrame(
+            [("a", "keep"), ("b", None), ("c", "v"), ("d", None), ("e", "same")],
+            "image_id string, caption string",
+        )
+        out = spark.createDataFrame(
+            [("a", "keep"), ("b", "corrupted"), ("c", None), ("e", "same")],
+            "image_id string, caption string",
+        )  # d dropped entirely (and its caption was NULL)
+        bad = {r["image_id"] for r in caption_byte_equality(src, out).collect()}
+        assert bad == {"b", "c", "d"}

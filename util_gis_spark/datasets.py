@@ -96,7 +96,11 @@ def _image_cols(k, caption):
         (64 + ((k * 31) % 960)).cast("int").alias("h"),
         F.when(k % 3 == 0, "png").when(k % 3 == 1, "jpg").otherwise("webp").alias("fmt"),
         caption.alias("caption"),
-        ((k * 2654435761) % 281474976710656).alias("phash"),
+        # k reduced mod 2^31 BEFORE the Knuth multiply: k*2654435761
+        # overflows int64 at k >= ~3.47e9 (ANSI Spark throws, DuckDB
+        # errors, non-ANSI wraps negative and breaks the 48-bit phash
+        # band math) — r6 review; identical values for k < 2^31
+        (((k % 2147483648) * 2654435761) % 281474976710656).alias("phash"),
         F.when(hot, 116.20 + ((k * 7919) % 1000) / 100000.0)
         .otherwise(116.0 + ((k * 48271) % 40000) / 100000.0)
         .alias("lon"),
@@ -119,7 +123,7 @@ SELECT
   CAST(64 + ((doc_id * 31) % 960) AS INTEGER)       AS h,
   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
   text                                              AS caption,
-  (doc_id * 2654435761) % 281474976710656           AS phash,
+  ((doc_id % 2147483648) * 2654435761) % 281474976710656 AS phash,
   CASE WHEN doc_id % 10 < 3
        THEN 116.20 + ((doc_id * 7919)  % 1000)  / 100000.0
        ELSE 116.0  + ((doc_id * 48271) % 40000) / 100000.0 END AS lon,

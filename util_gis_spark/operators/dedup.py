@@ -19,9 +19,20 @@ bucket, AQE skew handling for hot buckets (boilerplate dedup text).
 from __future__ import annotations
 
 import hashlib
+import re as _re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The ONE kernel tokenizer (r6 review: three kernels carried private
+# copies of the compile + filter). ASCII \s+ == Spark's Java \s+ split
+# and the oracle's explicit class (_toks_sql); str.split() would also
+# split Unicode whitespace (e.g. NBSP) and silently diverge.
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS_ASCII.split(text) if t]
 
 N_HASHES = 16
 N_BANDS = 4
@@ -37,7 +48,11 @@ def _toks(col: str = "text"):
 
 
 def _toks_sql(col: str = "text") -> str:
-    return f"list_filter(string_split_regex({col}, '\\s+'), x -> length(x) > 0)"
+    # explicit class, NOT '\\s+': DuckDB's RE2 \s is [\t\n\f\r ] —
+    # missing \x0B (vertical tab) — while Java \s (the Spark split)
+    # and Python re.ASCII \s both include it, so '\\s+' silently
+    # tokenized 'a\x0Bb' differently across engines (r6 review)
+    return f"list_filter(string_split_regex({col}, '[ \\t\\n\\r\\f\\v]+'), x -> length(x) > 0)"
 
 
 def bigrams_expr():
@@ -111,8 +126,6 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
     hashlib.md5 == SQL md5 byte-for-byte, and the 16 permutations run
     as one numpy matrix op — ~10x faster than interpreted HOFs while
     staying oracle-identical."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -128,10 +141,6 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
         ]
     )
 
-    import re as _re
-
-    ws = _re.compile(r"\s+", _re.ASCII)
-
     def run(batches):
         for pdf in batches:
             ids, hs, sigs = [], [], []
@@ -141,9 +150,7 @@ def _sig_kernel(docs: DataFrame, shingler: str = "word_pair") -> DataFrame:
                 if shingler == "char3":
                     sh = sorted({text[i : i + 3] for i in range(len(text) - 2)})
                 else:
-                    # ASCII \s+ == the oracle's regex split; str.split()
-                    # would also split Unicode whitespace and diverge
-                    toks = [t for t in ws.split(text) if t]
+                    toks = _tokens(text)  # the one ASCII-\s+ tokenizer
                     sh = sorted({f"{x} {y}" for x, y in zip(toks, toks[1:])})
                 if not sh:
                     continue
@@ -180,10 +187,16 @@ def minhash_near_dup_pairs(
     """(doc_a, doc_b, jaccard) for pairs colliding in >= 1 LSH band and
     passing the exact shingle-Jaccard verify. doc_a < doc_b.
 
-    Note the shingle tokenization here is whitespace str.split() ==
-    the oracle's \\s+ regex split; the Jaccard verify runs on the
-    30-bit md5 shingle hashes (identical values to the oracle's string
-    sets up to md5 collisions, ~2^-45 per doc).
+    Note the shingle tokenization is the shared ASCII-\\s+ regex split
+    (`_tokens` — NOT str.split(), which also splits Unicode whitespace
+    and diverges from the oracle); the Jaccard verify runs on 30-BIT
+    REDUCED md5 shingle hashes, so two distinct shingles collide with
+    p ~ 2^-30 — a doc with ~50 shingles diverges from the oracle's
+    string-set Jaccard with p ~ 1e-6 per candidate pair (r6 review:
+    an earlier note here claimed the full-md5 2^-45 bound, off by
+    ~2^15). Near a decision threshold at 10^12-doc scale that is a
+    steady trickle; widen the reduction (MOD30) if exactness at the
+    threshold matters more than the shuffle width.
 
     Plan shape: the signature table feeds three consumers (the band
     explode + both verify joins). The r2 plan recomputed the kernel 6x
@@ -516,20 +529,13 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     )
     weights = (1 << np.arange(SIMHASH_BITS, dtype=np.int64))
 
-    import re as _re
-
-    ws = _re.compile(r"\s+", _re.ASCII)
-
     def run(batches):
         for pdf in batches:
             ids, sims = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):  # NULL text: drop, like the
                     continue  # HOF path's size(_hashes) > 0 filter
-                # ASCII \s+ split == the Spark/DuckDB twins' regex;
-                # str.split() would also split Unicode whitespace (e.g.
-                # NBSP) and silently diverge from the oracle
-                toks = {t for t in ws.split(text) if t}
+                toks = set(_tokens(text))  # the one ASCII-\s+ tokenizer
                 if not toks:
                     continue
                 h = np.fromiter(
@@ -563,7 +569,14 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     the 32-bit fingerprint (any pair within hamming<=1 is guaranteed
     to share a half — pigeonhole; hamming 2 is caught unless the flips
     straddle both halves; each half carries a full 16 effective bits,
-    see simhash_token_hash_expr), then exact popcount verify. All JVM."""
+    see simhash_token_hash_expr), then exact popcount verify. All JVM.
+
+    MAINTENANCE NOTE (r6 review): this band-explode -> self-join ->
+    popcount-verify shape exists THREE times — here, the 64-bit
+    `simhash_near_dup_pairs_wide` below, and images.phash_hamming_dups
+    — deliberately NOT collapsed into one helper because each Spark
+    form textually mirrors its own DuckDB *_sql twin; a plan-shape fix
+    (like the r5 one-explode change) must be applied to all three."""
     s = simhash_docs(docs)
     # ONE explode, not a 2-way union: the union form re-ran the whole
     # signature subplan once per branch AND per join side (the same
@@ -657,17 +670,13 @@ def simhash_docs_wide(docs: DataFrame) -> DataFrame:
     )
     weights = 1 << np.arange(SIMHASH_BITS, dtype=np.int64)
 
-    import re as _re
-
-    ws = _re.compile(r"\s+", _re.ASCII)
-
     def run(batches):
         for pdf in batches:
             ids, his, los = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
-                toks = {t for t in ws.split(text) if t}
+                toks = set(_tokens(text))  # the one ASCII-\s+ tokenizer
                 if not toks:
                     continue
                 lo = np.fromiter(

@@ -69,12 +69,15 @@ def decode_stats(images_df: DataFrame, max_pixels: int = 64 * 64) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means, stds, npx = [], [], [], []
-            for _, row in pdf.iterrows():
-                w = min(int(row["w"]), side)
-                h = min(int(row["h"]), side)
-                px = _decode_stub(bytes(row["bytes"]), w, h)
+            # zip over columns, not iterrows: building a pandas Series
+            # per row cost ~10x on the per-image hot loop (r6 review;
+            # the dedup kernels' established idiom)
+            for iid, buf, rw, rh in zip(pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]):
+                w = min(int(rw), side)
+                h = min(int(rh), side)
+                px = _decode_stub(bytes(buf), w, h)
                 lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-                ids.append(row["image_id"])
+                ids.append(iid)
                 means.append(round(float(lum.mean()), 4))
                 stds.append(round(float(lum.std()), 4))
                 npx.append(w * h)
@@ -100,13 +103,13 @@ def reencode_roundtrip_check(images_df: DataFrame, lossy: bool = True) -> DataFr
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, psnrs = [], []
-            for _, row in pdf.iterrows():
-                w = min(int(row["w"]), 64)
-                h = min(int(row["h"]), 64)
-                px = _decode_stub(bytes(row["bytes"]), w, h)
+            for iid, buf, rw, rh in zip(pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]):
+                w = min(int(rw), 64)
+                h = min(int(rh), 64)
+                px = _decode_stub(bytes(buf), w, h)
                 enc = _encode_stub(px, lossy=lossy)
                 px2 = np.frombuffer(enc, dtype=np.uint8).reshape(h, w, 3)
-                ids.append(row["image_id"])
+                ids.append(iid)
                 p = psnr(px, px2)
                 psnrs.append(999.0 if np.isinf(p) else round(p, 2))
             yield pd.DataFrame({"image_id": ids, "psnr_db": psnrs, "caption": pdf["caption"].to_numpy()})
@@ -135,15 +138,15 @@ def resize_images(images_df: DataFrame, out_w: int = 32, out_h: int = 32) -> Dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means = [], []
-            for _, row in pdf.iterrows():
-                w = min(int(row["w"]), 64)
-                h = min(int(row["h"]), 64)
-                px = _decode_stub(bytes(row["bytes"]), w, h)
+            for iid, buf, rw, rh in zip(pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]):
+                w = min(int(rw), 64)
+                h = min(int(rh), 64)
+                px = _decode_stub(bytes(buf), w, h)
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
                 small = px[yi][:, xi]
                 lum = 0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
-                ids.append(row["image_id"])
+                ids.append(iid)
                 means.append(round(float(lum.mean()), 4))
             if ids:  # empty frames infer float64 cols, breaking the Arrow cast
                 yield pd.DataFrame(
@@ -179,17 +182,17 @@ def sample_video_frames(videos_df: DataFrame, every_n: int = 4) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids, fidx, nfr, means = [], [], [], []
-            for _, row in pdf.iterrows():
-                n_frames = int(row["h"]) % 28 + 2
-                w = min(int(row["w"]), 32)
-                h = min(int(row["h"]), 32)
-                data = bytes(row["bytes"])
+            for iid, buf, rw, rh in zip(pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]):
+                n_frames = int(rh) % 28 + 2
+                w = min(int(rw), 32)
+                h = min(int(rh), 32)
+                data = bytes(buf)
                 for i in range(0, n_frames, every_n):
                     # per-frame decode: frame index salts the seed, the
                     # same way a real demuxer seeks to frame i
                     px = _decode_stub(data + i.to_bytes(2, "little"), w, h)
                     lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-                    vids.append(row["image_id"])
+                    vids.append(iid)
                     fidx.append(np.int32(i))
                     nfr.append(np.int32(n_frames))
                     means.append(round(float(lum.mean()), 4))
@@ -207,10 +210,23 @@ def caption_byte_equality(src_df: DataFrame, out_df: DataFrame) -> DataFrame:
     """End-to-end caption invariant: join pipeline output back to the
     source on image_id and compare UTF-8 BYTES (not just string
     equality) — returns rows that violate byte-for-byte preservation
-    (must be empty)."""
+    (must be empty). NULL-safe and drop-aware (r6 review): the old
+    `!=` propagated NULL, so corrupting a NULL caption to a value (or
+    nulling a real one) filtered the row OUT of the violation set, and
+    the inner join made a stage that DROPPED an image row entirely
+    invisible — a checker that passed on real corruption."""
     s = src_df.select("image_id", F.encode(F.col("caption"), "UTF-8").alias("_src_b"))
-    o = out_df.select("image_id", F.encode(F.col("caption"), "UTF-8").alias("_out_b"))
-    return s.join(o, "image_id").filter(F.col("_src_b") != F.col("_out_b"))
+    o = out_df.select(
+        "image_id",
+        F.encode(F.col("caption"), "UTF-8").alias("_out_b"),
+        F.lit(True).alias("_out_present"),
+    )
+    j = s.join(o, "image_id", "left")
+    # presence marker, not _out_b IS NULL: a dropped row whose source
+    # caption was also NULL would otherwise compare NULL==NULL clean
+    return j.filter(
+        F.col("_out_present").isNull() | ~F.col("_src_b").eqNullSafe(F.col("_out_b"))
+    )
 
 
 def phash_hamming_dups_sql(images_src: str, max_hamming: int = 4) -> str:

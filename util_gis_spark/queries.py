@@ -1224,7 +1224,9 @@ def _doc_quality_cols():
 
 
 #: DuckDB twins of _doc_quality_cols (toks subquery column + quality expr)
-_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)"
+# explicit class, not '\s+': RE2's \s misses \x0B which Java/Python \s
+# include (see dedup._toks_sql, r6 review)
+_TOKS_SQL = r"list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> length(x) > 0)"
 _QUALITY_SQL = (
     "round(least(1.0, len(toks) / 50.0)"
     " * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
@@ -1722,7 +1724,7 @@ SELECT doc_id, pred_lang, (pred_lang = lang) AS agree FROM (
       len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS es_stop
     FROM (
       SELECT doc_id, lang, text,
-             list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS toks
+             list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'), x -> length(x) > 0) AS toks
       FROM documents
     )
   )
