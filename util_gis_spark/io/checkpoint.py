@@ -72,9 +72,9 @@ class CheckpointedPipeline:
                     m = json.load(f)
                 h.update(m.get("fingerprint", "").encode())
                 h.update(m.get("write_id", "").encode())
-        # expression ids (#123) and generated aliases are fresh per
-        # session — strip them so the fingerprint is plan-shape stable
-        h.update(re.sub(r"#\d+", "#", logical_plan).encode())
+        # the caller passes an already-normalized plan string (see
+        # stage(): canonicalized analyzed plan, exprIds deterministic)
+        h.update(logical_plan.encode())
         return h.hexdigest()[:16]
 
     def _source_identity(self, df: DataFrame) -> str:
@@ -84,11 +84,25 @@ class CheckpointedPipeline:
         resume the STALE checkpoint silently (r5 review — the write_id
         mechanism only covers dep stages). Hash every input file's
         (path, size, mtime); unreachable/remote paths contribute their
-        path only."""
+        path only. Two r6-review fixes: (1) Hadoop percent-encodes
+        URIs, so paths with a space/non-ASCII char failed os.stat and
+        silently dropped size/mtime from the hash — re-opening the
+        stale-resume hole; URIs are now properly decoded. (2) files
+        under the checkpoint root itself (dep checkpoint parquet) are
+        SKIPPED: dep identity is already the manifest fingerprint +
+        write_id, and hashing dep part-file mtimes made a cp -r
+        restore of a valid checkpoint tree rebuild every dependent
+        stage from scratch."""
+        from urllib.parse import unquote, urlparse
+
+        root_abs = os.path.abspath(self.root) + os.sep
         h = hashlib.sha256()
         for uri in sorted(df.inputFiles()):
+            parsed = urlparse(uri)
+            path = unquote(parsed.path) if parsed.scheme else uri
+            if os.path.abspath(path).startswith(root_abs):
+                continue
             h.update(uri.encode())
-            path = uri[7:] if uri.startswith("file:///") else uri.removeprefix("file:")
             try:
                 st = os.stat(path)
                 h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
@@ -108,11 +122,19 @@ class CheckpointedPipeline:
         stage DataFrame."""
         dep_dfs = [self.spark.read.parquet(self._data_path(d)) for d in deps]
         df = build(*dep_dfs)
-        fp = self._fingerprint(
-            name,
-            list(deps),
-            df._jdf.queryExecution().logical().toString() + self._source_identity(df),
-        )
+        qe = df._jdf.queryExecution()
+        try:
+            # canonicalized ANALYZED plan: exprIds are normalized
+            # deterministically by position (stable across sessions)
+            # while data literals survive — the old regex strip of
+            # '#\d+' also rewrote literals like 'poly#12', so two
+            # stages differing only in such a literal shared a
+            # fingerprint and the edited stage silently resumed stale
+            # data (r6 review)
+            plan_str = qe.analyzed().canonicalized().toString()
+        except Exception:  # canonicalization unavailable: legacy strip
+            plan_str = re.sub(r"#\d+", "#", qe.logical().toString())
+        fp = self._fingerprint(name, list(deps), plan_str + self._source_identity(df))
 
         meta_path = self._meta_path(name)
         data_path = self._data_path(name)

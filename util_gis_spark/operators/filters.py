@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .joins import _check_reserved_cols
+
 MIN_SPEED_KMH = 0.1  # G:628
 MAX_SPEED_KMH = 18.0  # G:642
 
@@ -24,6 +26,7 @@ def filter_wgs84_points(df: DataFrame) -> DataFrame:
     the FIRST by time (G:10933-10940). Dup-drop is per device — the
     set-oriented analogue of the reference's per-trajectory scan.
     """
+    _check_reserved_cols(df, ("_rn",), "filter_wgs84_points")
     f = df.filter(
         F.col("ts").isNotNull()
         & (F.col("lon") != 0.0) & (F.col("lat") != 0.0)

@@ -18,20 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .joins import pip_join_hybrid
+from .joins import _check_reserved_cols, pip_join
 
 
 def polygon_time_ranges(
-    points_df: DataFrame, polygons_wkt_df: DataFrame, res: int = 17
+    points_df: DataFrame, polygons_wkt_df: DataFrame, res: int | None = None
 ) -> DataFrame:
     """(device_id, polygon_id, start_ts, end_ts), reference split
-    semantics (before adjacent merge)."""
+    semantics (before adjacent merge).
+
+    `res=None` routes through the pip_join planner's resolution
+    heuristic (~128 cells per median polygon); the old hardcoded
+    res=17 over-covered the sandbox layer ~16x (r6 review). res only
+    sizes the filter grid — output is res-invariant."""
+    _check_reserved_cols(points_df, ("rn", "next_ts", "island"), "polygon_time_ranges")
     w_dev = Window.partitionBy("device_id").orderBy("ts", "point_id")
     pts = (
         points_df.withColumn("rn", F.row_number().over(w_dev))
         .withColumn("next_ts", F.lead("ts").over(w_dev))
     )
-    inside = pip_join_hybrid(
+    inside = pip_join(
         pts, polygons_wkt_df, res=res, carry_cols=["device_id", "point_id", "ts", "rn", "next_ts"]
     )
     w_isl = Window.partitionBy("device_id", "polygon_id").orderBy("rn")
