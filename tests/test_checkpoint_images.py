@@ -80,6 +80,78 @@ class TestCheckpoint:
         pipe3.stage("raw", lambda: spark.read.parquet(src))
         assert pipe3.results["raw"].resumed
 
+    def test_percent_encoded_source_invalidates(self, spark, tmp_path):
+        """r6 review: Hadoop percent-encodes inputFiles() URIs, so a
+        source path with a space failed os.stat and silently dropped
+        size/mtime from the identity hash — rewriting such a source IN
+        PLACE (same filename, e.g. an overwritten upstream export)
+        resumed the STALE checkpoint. URIs are now decoded first. The
+        source here is a fixed-name file: a Spark overwrite would mint
+        fresh part names, changing the URI set and masking the bug."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "raw dir"
+        d.mkdir()
+        src = str(d / "src data.parquet")
+        pq.write_table(pa.table({"id": list(range(10))}), src)
+        root = str(tmp_path / "ckpt5")
+        pipe = CheckpointedPipeline(spark, root)
+        assert pipe.stage("raw", lambda: spark.read.parquet(src)).count() == 10
+
+        pq.write_table(pa.table({"id": list(range(25))}), src)  # same filename
+        pipe2 = CheckpointedPipeline(spark, root)
+        df = pipe2.stage("raw", lambda: spark.read.parquet(src))
+        assert not pipe2.results["raw"].resumed
+        assert df.count() == 25
+
+        pipe3 = CheckpointedPipeline(spark, root)
+        pipe3.stage("raw", lambda: spark.read.parquet(src))
+        assert pipe3.results["raw"].resumed
+
+    def test_restored_checkpoint_tree_resumes(self, spark, tmp_path):
+        """r6 review: dep-stage parquet lives under the checkpoint
+        root, and hashing those part files' mtimes made a cp -r
+        restore of a valid tree rebuild every dependent stage. Dep
+        identity is already the manifest fingerprint + write_id, so
+        files under the root are skipped from the source hash."""
+        import shutil
+
+        src = str(tmp_path / "raw6")
+        spark.range(0, 10).write.mode("overwrite").parquet(src)
+        root = str(tmp_path / "ckpt6")
+        pipe = CheckpointedPipeline(spark, root)
+        pipe.stage("src", lambda: spark.read.parquet(src))
+        pipe.stage("dep", lambda s: s.filter("id % 2 = 0"), deps=["src"])
+
+        # restore without metadata (fresh mtimes), like cp -r
+        root2 = str(tmp_path / "ckpt6_restored")
+        shutil.copytree(root, root2, copy_function=shutil.copy)
+        pipe2 = CheckpointedPipeline(spark, root2)
+        pipe2.stage("src", lambda: spark.read.parquet(src))
+        pipe2.stage("dep", lambda s: s.filter("id % 2 = 0"), deps=["src"])
+        assert pipe2.results["src"].resumed
+        assert pipe2.results["dep"].resumed
+
+    def test_literal_exprid_lookalike_distinguished(self, spark, tmp_path):
+        """r6 review: the old '#\\d+' exprId strip also rewrote data
+        literals like 'poly#12', so two stages differing only in such
+        a literal shared a fingerprint and the edited stage resumed
+        stale data. The canonicalized analyzed plan keeps literals."""
+        src = str(tmp_path / "raw7")
+        spark.createDataFrame(
+            [("poly#12",), ("poly#13",)], "tag string"
+        ).write.mode("overwrite").parquet(src)
+        root = str(tmp_path / "ckpt7")
+        pipe = CheckpointedPipeline(spark, root)
+        df = pipe.stage("s", lambda: spark.read.parquet(src).filter(F.col("tag") == "poly#12"))
+        assert df.collect()[0]["tag"] == "poly#12"
+
+        pipe2 = CheckpointedPipeline(spark, root)
+        df2 = pipe2.stage("s", lambda: spark.read.parquet(src).filter(F.col("tag") == "poly#13"))
+        assert not pipe2.results["s"].resumed
+        assert df2.collect()[0]["tag"] == "poly#13"
+
 
 class TestImages:
     def test_decode_stats_shape(self, spark, sf_dir):
