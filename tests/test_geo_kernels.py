@@ -426,6 +426,41 @@ class TestR5NumericCoreHardening:
         assert rows[1][0] is not None and rows[1][1] is not None
         assert rows[2] == (None, None) and rows[3] == (None, None)
 
+    def test_infinite_coords_join_nothing_all_three_forms(self, spark):
+        """r6 review of this module: isnan misses +-Inf, and
+        floor(inf)=inf sails through the null-skipping least/greatest
+        onto a corner index — the Column/SQL forms emitted a corner
+        cell for an infinite coordinate while the numpy twin
+        (isfinite) yielded -1. All three forms must agree: Inf joins
+        nothing."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        inf = float("inf")
+        assert int(cells.np_cell([inf], [39.5], 14)[0]) == -1
+        assert int(cells.np_cell([116.0], [-inf], 14)[0]) == -1
+        con = duckdb.connect()
+        assert con.execute(
+            f"SELECT {cells.cell_sql(chr(39) + 'infinity' + chr(39) + '::DOUBLE', '39.5', 14)}"
+        ).fetchone()[0] is None
+        assert con.execute(
+            f"SELECT {cells.cell_sql('116.0', chr(39) + '-infinity' + chr(39) + '::DOUBLE', 14)}"
+        ).fetchone()[0] is None
+        df = spark.createDataFrame(
+            [(1, 116.0, 39.5), (2, inf, 39.5), (3, 116.0, -inf)],
+            "id long, lon double, lat double",
+        ).select(
+            "id",
+            cells.cell_expr(F.col("lon"), F.col("lat"), 14),
+            cells.lon_ix_expr(F.col("lon"), 14).alias("ix"),
+            cells.lat_iy_expr(F.col("lat"), 14).alias("iy"),
+        )
+        rows = {r["id"]: (r["cell"], r["ix"], r["iy"]) for r in df.collect()}
+        assert all(v is not None for v in rows[1])
+        assert rows[2][0] is None and rows[2][1] is None
+        assert rows[3][0] is None and rows[3][2] is None
+
     def test_tile_assignment_drops_nan_coord_rows(self, spark):
         """Downstream effect of the guard: a NaN-coordinate image gets
         NO tiles (sequence(NULL, NULL) explodes to nothing) instead of

@@ -49,7 +49,14 @@ def lon_ix_expr(lon: Column, res: int) -> Column:
     n = float(_nx(res))
     ix = F.least(F.floor((lon + 180.0) / 360.0 * n), F.lit(n - 1)).cast("long")
     ix = F.greatest(ix, F.lit(0).cast("long"))
-    return F.when(lon.isNull() | F.isnan(lon), F.lit(None).cast("long")).otherwise(ix)
+    # abs(x)=inf catches what isnan misses: floor(inf) is inf, so an
+    # infinite coordinate sailed through least/greatest onto a corner
+    # index while the numpy twin (isfinite) yielded -1 — the r6 review
+    # of this module caught the three-forms drift the NaN guard left
+    return F.when(
+        lon.isNull() | F.isnan(lon) | (F.abs(lon) == F.lit(float("inf"))),
+        F.lit(None).cast("long"),
+    ).otherwise(ix)
 
 
 def lat_iy_expr(lat: Column, res: int) -> Column:
@@ -58,7 +65,10 @@ def lat_iy_expr(lat: Column, res: int) -> Column:
     n = float(_nx(res))
     iy = F.least(F.floor((lat + 90.0) / 180.0 * n), F.lit(n - 1)).cast("long")
     iy = F.greatest(iy, F.lit(0).cast("long"))
-    return F.when(lat.isNull() | F.isnan(lat), F.lit(None).cast("long")).otherwise(iy)
+    return F.when(
+        lat.isNull() | F.isnan(lat) | (F.abs(lat) == F.lit(float("inf"))),
+        F.lit(None).cast("long"),
+    ).otherwise(iy)
 
 
 def pack_expr(res: int, ix: Column, iy: Column) -> Column:
@@ -86,6 +96,7 @@ def cell_sql(lon: str, lat: str, res: int) -> str:
     iy = f"greatest(least(cast(floor((({lat})+90.0)/180.0*{n}) as bigint), {int(n) - 1}), 0)"
     return (
         f"(CASE WHEN ({lon}) IS NULL OR ({lat}) IS NULL OR isnan({lon}) OR isnan({lat})"
+        f" OR isinf({lon}) OR isinf({lat})"
         f" THEN NULL ELSE cast({res} as bigint)*{RES_SHIFT} + {ix}*{IX_SHIFT} + {iy} END)"
     )
 
