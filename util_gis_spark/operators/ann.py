@@ -779,21 +779,39 @@ def embed_cosine_dups(embeddings_df: DataFrame, threshold: float = 0.3) -> DataF
     bucket join (never all-pairs — at 10^12 vectors the bucket count
     scales with `bits`), exact cosine verify at `threshold`. Output
     (vec_a, vec_b, cos_sim), vec_a < vec_b. The dedup-flavored twin of
-    ann_lsh_topk (pairs above a similarity bar instead of top-k)."""
-    e = (
-        embeddings_df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("t", F.explode(F.expr(f"sequence(0, {N_TABLES - 1})")))
-        .withColumn("bucket", F.expr(bucket_expr("v")).cast("long"))
+    ann_lsh_topk (pairs above a similarity bar instead of top-k).
+
+    Same shuffle discipline as ann_lsh_topk (r6 review — this operator
+    had kept the pre-r5 wide shape): signatures come from the
+    vectorized Arrow kernel (the interpreted-HOF Column form costs
+    ~6k boxed lambda calls per row), the band join carries ONLY
+    (t, bucket, id), and the embedding arrays re-attach by id after
+    the pair dedup — a clustered bucket duplicates each pair up to
+    n_tables times, and shipping both arrays through that duplication
+    is the measured ~16 GB exchange the narrow form replaced. Doubles
+    are bit-identical either way (kernel==Column parity is tested;
+    rounding stays JVM F.round)."""
+    base = embeddings_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    left = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "t", "bucket")
-    right = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "t", "bucket")
+    e_nar = lsh_signatures_kernel(base).select(
+        "vec_id", F.posexplode("buckets").alias("t", "bucket")
+    )
     cand = (
-        left.join(right, ["t", "bucket"])
+        e_nar.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+        .join(e_nar.select(F.col("vec_id").alias("vec_b"), "t", "bucket"), ["t", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    scored = cand.select(
-        "vec_a", "vec_b", F.round(_cos_expr("va", "vb"), 5).alias("cos_sim")
+    joined = cand.join(
+        base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("pv")), "vec_a"
+    ).join(base.select(F.col("vec_id").alias("vec_b"), "v"), "vec_b")
+    scored = _cos_kernel(
+        joined.select(F.col("vec_a").alias("probe_id"), F.col("vec_b").alias("neighbor_id"), "pv", "v")
+    ).select(
+        F.col("probe_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.round("cos_raw", 5).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
