@@ -8,7 +8,11 @@ one JSON line, so the join-default decision has a recorded answer and
 future rounds can re-check it if the worker pool or broadcast path
 changes. Row counts must match — the transports are parity-locked.
 
-Usage: python scripts/bench_ivf_transport.py [n_vecs=20000] [reps=3]
+r7: the "closure" transport (fused assign+score kernel, matrices in
+the task closure) joins the interleave — it is the new default, so the
+decision record must carry all three.
+
+Usage: python scripts/bench_ivf_transport.py [n_vecs=20000] [reps=3] [transports=closure,join,broadcast]
 """
 
 from __future__ import annotations
@@ -28,6 +32,9 @@ from util_gis_spark.session import get_spark  # noqa: E402
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    transports = tuple(
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ("closure", "join", "broadcast")
+    )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("ivf-transport", master=f"local[{cpus}]", shuffle_partitions=cpus)
     emb = D.embeddings_range(spark, n_vecs, cpus)
@@ -40,8 +47,8 @@ def main() -> None:
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
     loads = [round(os.getloadavg()[0], 2)]
-    for _ in range(reps):  # interleaved so co-tenant noise hits both
-        for transport in ("join", "broadcast"):
+    for _ in range(reps):  # interleaved so co-tenant noise hits all
+        for transport in transports:
             t0 = time.perf_counter()
             out = ann_ivf_topk(emb, probe_filter=probe_filter, probe_transport=transport)
             rows[transport] = out.count()
@@ -59,8 +66,7 @@ def main() -> None:
                 "n_vecs": n_vecs,
                 "reps": reps,
                 "loadavg": loads,
-                "join_sec": round(best["join"], 3),
-                "broadcast_sec": round(best["broadcast"], 3),
+                **{f"{t}_sec": round(best[t], 3) for t in transports},
                 "rows": rows,
             }
         )

@@ -231,19 +231,32 @@ class TestAnnIvf:
             assert sims == sorted(sims, reverse=True)
 
     def test_probe_transports_identical(self, spark, sf_dir):
-        """The join and broadcast probe transports must produce
-        identical rows — same matrices, same ordered-fold kernel, only
-        the shipping differs."""
+        """The closure (r7 default: fused assign+score kernel, numpy
+        probe ranking, matrices in the task closure), join and
+        broadcast probe transports must produce identical rows — same
+        matrices, same ordered folds, only the shipping (and the
+        closure form's quantum-safe in-kernel top-k prune, a provable
+        superset cut) differs."""
         from util_gis_spark import datasets as D
         from util_gis_spark.operators.ann import ann_ivf_topk
 
         emb = D.load(spark, sf_dir, "embeddings")
         key = lambda r: (r["probe_id"], r["neighbor_id"], r["list_id"], r["cos_sim"])
         jn = sorted(key(r) for r in ann_ivf_topk(emb, probe_transport="join").collect())
+        cl = sorted(key(r) for r in ann_ivf_topk(emb, probe_transport="closure").collect())
+        assert jn == cl and jn
+        # closure + expr assignment: the non-fused closure branch
+        ce = sorted(
+            key(r)
+            for r in ann_ivf_topk(
+                emb, probe_transport="closure", assign_transport="expr"
+            ).collect()
+        )
+        assert jn == ce
         bcast_df = ann_ivf_topk(emb, probe_transport="broadcast")
         bc = sorted(key(r) for r in bcast_df.collect())
         bcast_df.probes_bc.destroy()
-        assert jn == bc and jn
+        assert jn == bc
 
     def test_probe_transport_validated(self, spark, sf_dir):
         import pytest

