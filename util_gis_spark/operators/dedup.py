@@ -177,11 +177,39 @@ def band_table_expr() -> str:
     return f"array({entries})"
 
 
+# auto-persist bookkeeping (r7): the signature table feeds FOUR
+# consumers (both band-join sides + both verify re-attach joins), so
+# an unpersisted plan evaluates the per-doc kernel 4x per query —
+# measured 2x whole-query cost at every bench size (5k docs: 2.75 vs
+# 1.25 s; 50k: 3.65 vs 1.89 s, interleaved min-of-3). persist=None
+# ("auto", the default) persists the CURRENT call's signatures and
+# releases the PREVIOUS auto-call's cache, bounding live cache to one
+# signature table; an unpersisted-but-unconsumed earlier result just
+# recomputes (correctness unaffected). This is per-invocation work on
+# the operator's own intermediate — nothing survives or is keyed
+# across invocations.
+_AUTO_SIG_CACHES: list = []
+
+
+def _auto_persist_sig(base: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    while _AUTO_SIG_CACHES:
+        old = _AUTO_SIG_CACHES.pop()
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # its session may already be stopped
+    cache = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _AUTO_SIG_CACHES.append(cache)
+    return cache
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
     shingler: str = "word_pair",
-    persist: bool = False,
+    persist: bool | None = None,
     max_band_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs colliding in >= 1 LSH band and
@@ -198,23 +226,26 @@ def minhash_near_dup_pairs(
     steady trickle; widen the reduction (MOD30) if exactness at the
     threshold matters more than the shuffle width.
 
-    Plan shape: the signature table feeds three consumers (the band
-    explode + both verify joins). The r2 plan recomputed the kernel 6x
-    via a 4-way band union, which (not the md5 loop) was why
-    minhash_dedup was the one flat bench query; the single explode
-    fixed that (3.6 s -> 0.7 s measured). `persist=True` additionally
-    caches the signature table across the three consumers — worth it
-    when the corpus is large and the kernel dominates, but the cache
-    CANNOT be unpersisted from here (the result is lazy) — the returned
-    DataFrame carries it as `.sig_cache` (None when persist=False) so
-    callers can `.sig_cache.unpersist()` after consuming — and it is
-    off by default;
+    Plan shape: the signature table feeds FOUR consumers (both band
+    join sides + both verify re-attach joins). The r2 plan recomputed
+    the kernel 6x via a 4-way band union, which (not the md5 loop) was
+    why minhash_dedup was the one flat bench query; the single explode
+    fixed that (3.6 s -> 0.7 s measured). Since r7 the signature table
+    is additionally persisted by default (`persist=None` = auto:
+    cache this call's signatures, release the previous auto-call's —
+    see _auto_persist_sig for the measured 2x and the bounded-liveness
+    argument). `persist=True` keeps the old manual contract (cache
+    retained until the caller releases `.sig_cache`); `persist=False`
+    disables caching entirely. Either way the returned DataFrame
+    carries the cache handle as `.sig_cache` (None when disabled);
     for repeated or large runs the right tool is the bucketed stage
     (write_minhash_stage / minhash_pairs_from_stage), which also skips
     the band-join shuffle."""
     base = _sig_kernel(docs, shingler=shingler)
     cache = None
-    if persist:
+    if persist is None:
+        base = cache = _auto_persist_sig(base)
+    elif persist:
         from pyspark import StorageLevel
 
         base = cache = base.persist(StorageLevel.MEMORY_AND_DISK)

@@ -298,17 +298,46 @@ def pip_join_hybrid(
     spark = points_df.sparkSession
     polys = _collect_polygons(polygons_wkt_df)
 
-    rows = []
+    cell_parts: list[np.ndarray] = []
+    pid_parts: list[np.ndarray] = []
+    inside_parts: list[np.ndarray] = []
     edge_rows = []
     refine_wkts: dict[int, object] = {}
     for pid, parsed, _env in polys:
         inside, boundary = classify_polygon_cells(parsed, res)
-        rows.extend((int(c), int(pid), True) for c in inside)
-        rows.extend((int(c), int(pid), False) for c in boundary)
+        n_in, n_bd = len(inside), len(boundary)
+        if n_in + n_bd:
+            cell_parts.append(np.concatenate([inside, boundary]))
+            pid_parts.append(np.full(n_in + n_bd, int(pid), dtype=np.int64))
+            inside_parts.append(
+                np.concatenate([np.ones(n_in, dtype=bool), np.zeros(n_bd, dtype=bool)])
+            )
         refine_wkts[int(pid)] = parsed
-        if len(boundary):
+        if n_bd:
             edge_rows.append((int(pid), _edge_parts_from_parsed(parsed)))
-    cellmap = spark.createDataFrame(rows, "cell long, polygon_id long, _inside boolean")
+    # the cell map ships driver -> JVM as ONE Arrow table built from
+    # numpy columns (r7): at fine resolutions it holds ~10^5 rows, and
+    # materializing those as Python tuples for createDataFrame cost
+    # ~0.5 s PER CALL (a third of the whole headline join) against
+    # ~0.1 s for the Arrow path — same rows, same schema.
+    cellmap_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType(), False),
+            T.StructField("polygon_id", T.LongType(), False),
+            T.StructField("_inside", T.BooleanType(), False),
+        ]
+    )
+    if cell_parts:
+        cellmap_pdf = pd.DataFrame(
+            {
+                "cell": np.concatenate(cell_parts),
+                "polygon_id": np.concatenate(pid_parts),
+                "_inside": np.concatenate(inside_parts),
+            }
+        )
+        cellmap = spark.createDataFrame(cellmap_pdf, schema=cellmap_schema)
+    else:
+        cellmap = spark.createDataFrame([], cellmap_schema)
     if broadcast_cellmap:
         cellmap = F.broadcast(cellmap)
 
@@ -1127,14 +1156,19 @@ def knn_join(
         if max_broadcast_candidates is not None
         else max(max_broadcast_bytes // 24, 1)
     )
-    n_cand = candidates_df.limit(cap_rows + 1).count()
+    # ONE bounded ingestion job doubles as the size probe (r7): the old
+    # limit-count probe evaluated the whole candidate subplan (scan +
+    # filters + window) a second time before the Arrow collect re-ran
+    # it — limit(cap+1) bounds the transfer exactly like the count did,
+    # and len() answers the dispatch question from the same job.
+    cpdf = candidates_df.select(cand_id_col, "lon", "lat").limit(cap_rows + 1).toPandas()
+    n_cand = len(cpdf)
     if n_cand == 0:
         spark = probes_df.sparkSession
         return spark.createDataFrame(
             [], "probe_id long, nearest_id long, dist_m double"
         )
     if n_cand <= cap_rows:
-        cpdf = candidates_df.select(cand_id_col, "lon", "lat").toPandas()
         cands = (
             cpdf[cand_id_col].to_numpy(np.int64),
             cpdf["lon"].to_numpy(np.float64),
