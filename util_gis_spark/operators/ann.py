@@ -243,6 +243,169 @@ def ann_lsh_topk(
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def _label_partial_rows(pdf):
+    """Per-batch (labels, counts, sums) partial rows for the label-mean
+    centroid computation — shared by _label_centroids and the combined
+    probe+centroid pass so the summation semantics cannot drift.
+    Expects v-notna rows."""
+    import numpy as np
+
+    labs, ns, sums = [], [], []
+    for lab, idx in pdf.groupby("label", sort=True).indices.items():
+        sub = np.vstack(pdf["v"].iloc[idx].to_numpy()).astype(np.float64)
+        labs.append(int(lab))
+        ns.append(len(sub))
+        sums.append(sub.sum(axis=0).tolist())
+    return labs, ns, sums
+
+
+def _combine_label_partials(rows, dim: int) -> list[tuple[int, list[float]]]:
+    """Deterministic in-order driver combine of (part, label, n, s)
+    partial rows -> sorted (label, mean) list."""
+    import numpy as np
+
+    acc: dict[int, tuple[int, "np.ndarray"]] = {}
+    for r in sorted(rows, key=lambda r: (r["part"], r["label"])):
+        n0, s0 = acc.get(int(r["label"]), (0, np.zeros(dim)))
+        acc[int(r["label"])] = (n0 + int(r["n"]), s0 + np.asarray(r["s"], dtype=np.float64))
+    return sorted((lab, (s / n).tolist()) for lab, (n, s) in acc.items())
+
+
+def _probes_and_label_partials(e: DataFrame, probe_filter: str, need_cents: bool):
+    """ONE corpus pass serving both eager questions of the closure
+    transport: the probe rows (probe_filter true, v not null) AND —
+    when the label-mean quantizer is in play — the per-batch centroid
+    partials. The probe predicate is evaluated JVM-side (F.expr, so
+    arbitrary SQL over vec_id/label/v keeps working) and rides the
+    batch as a boolean column; the kernel splits each batch into
+    partial rows (kind=0) and probe rows (kind=1). Returns
+    (probe pandas DataFrame[vec_id, v], partial row list)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("kind", T.IntegerType()),
+            T.StructField("part", T.LongType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            pdf = pdf[pdf["v"].notna()]
+            if len(pdf) == 0:
+                continue
+            frames = []
+            if need_cents:
+                labs, ns, sums = _label_partial_rows(pdf)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.zeros(len(labs), dtype=np.int32),
+                            "part": np.full(len(labs), pid),
+                            "label": labs,
+                            "n": ns,
+                            "s": sums,
+                            "vec_id": np.zeros(len(labs), dtype=np.int64),
+                            "v": [None] * len(labs),
+                        }
+                    )
+                )
+            pr = pdf[pdf["_is_probe"].fillna(False).astype(bool)]
+            if len(pr):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.ones(len(pr), dtype=np.int32),
+                            "part": np.full(len(pr), pid),
+                            "label": np.zeros(len(pr), dtype=np.int64),
+                            "n": np.zeros(len(pr), dtype=np.int64),
+                            "s": [None] * len(pr),
+                            "vec_id": pr["vec_id"].to_numpy(np.int64),
+                            "v": pr["v"].tolist(),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    src = e.withColumn("_is_probe", F.expr(probe_filter)).select(
+        "vec_id", "label", "v", "_is_probe"
+    )
+    rows = src.mapInPandas(run, schema=schema).collect()
+    partials = [r for r in rows if r["kind"] == 0]
+    probes = [r for r in rows if r["kind"] == 1]
+    ppdf = pd.DataFrame(
+        {
+            "vec_id": [int(r["vec_id"]) for r in probes],
+            "v": [list(r["v"]) for r in probes],
+        }
+    )
+    return ppdf, partials
+
+
+def _label_centroids(e: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
+    """Per-label elementwise means as sorted (label, centroid) rows —
+    ONE Arrow pass emitting per-batch partial (label, count, sums)
+    rows (~25 x 520 B per batch), combined on the driver in ascending
+    (partition, label) order. This replaces the 64-column
+    `avg(v[i])` aggregation, which referenced the embedding array 64
+    times: against a parquet scan that is harmless, but against the
+    generated bench corpus Catalyst inlined the (large) array
+    expression into every avg argument and the OPTIMIZATION + Janino
+    compile of the exploded tree cost ~2.5 s per call with a ~6 s
+    first-call cliff — pure driver time, independent of data size
+    (measured at 20k == 200k rows). The kernel's partials are the
+    guide's map-side-aggregation shape: what crosses the boundary is
+    lists x dim sums, never rows.
+
+    Semantics: rows with a NULL embedding are skipped (avg() skipped
+    them per element); summation is per-batch numpy followed by a
+    deterministic in-order driver combine — the same
+    equal-multiset-modulo-ulp contract the Spark avg (whose merge
+    order is fetch-order nondeterministic) already provided. Centroid
+    ulps only steer integer decisions (list assignment, probe-list
+    ranking); the oracle gate and the assignment-equality test pin
+    that those decisions are unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("part", T.LongType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf[pdf["v"].notna()]
+            if len(pdf) == 0:
+                continue
+            labs, ns, sums = _label_partial_rows(pdf)
+            yield pd.DataFrame({"part": np.full(len(labs), pid), "label": labs, "n": ns, "s": sums})
+
+    rows = e.select("label", "v").mapInPandas(run, schema=schema).collect()
+    return _combine_label_partials(rows, dim)
+
+
 def _rank_probes_local(cent_rows: list[tuple[int, list[float]]], ppdf, nprobe: int) -> dict:
     """Driver-side numpy replica of the probe-side list ranking — the
     closure-transport twin of the crossJoin+window form, bit-identical
@@ -735,6 +898,70 @@ def ann_ivf_topk(
     e = embeddings_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    if probe_transport == "closure":
+        # the closure path runs TWO jobs total (r7: job-launch
+        # overhead, not compute, dominated the bench shape): (1) one
+        # combined corpus pass collects the probe rows AND the
+        # label-centroid partials (skipped when explicit centroids are
+        # passed) — it also answers the dim question and the
+        # empty-input early exit, replacing the separate first()
+        # probe; (2) the fused assign+score pass + top-k. NULL-
+        # embedding probes are skipped like the old dim probe — the
+        # lazy transports would crash on them at np.vstack time.
+        ppdf, partials = _probes_and_label_partials(
+            e, probe_filter, need_cents=centroids is None
+        )
+        spark = embeddings_df.sparkSession
+        empty = "probe_id long, neighbor_id long, cos_sim double, list_id long"
+        if len(ppdf) == 0:  # empty corpus or nothing matched the filter
+            return spark.createDataFrame([], empty)
+        dim = len(ppdf["v"].iloc[0])
+        if centroids is not None:
+            cent_rows = sorted((int(i), [float(x) for x in c]) for i, c in centroids)
+        else:
+            cent_rows = _combine_label_partials(partials, dim)
+        pmap = _rank_probes_local(cent_rows, ppdf, nprobe)
+        if not pmap:
+            return spark.createDataFrame([], empty)
+        if assign_transport in ("auto", "kernel"):
+            # fused single-pass form: assign + score + quantum-safe
+            # top-k prune in ONE corpus Arrow trip
+            raw = _assign_score_kernel(e, cent_rows, pmap, k)
+        else:  # "expr": all-JVM assignment, closure-matrix scoring
+            if len(cent_rows) * dim > _ASSIGN_EXPR_MAX_TERMS:
+                raise ValueError(
+                    f"assign_transport='expr' with {len(cent_rows)} lists x {dim} dims = "
+                    f"{len(cent_rows) * dim} unrolled terms > {_ASSIGN_EXPR_MAX_TERMS}: "
+                    "the literal expression's Janino compile fails hard past this "
+                    "(300x64 OOMs a 48 GiB driver); use 'kernel' (bit-identical)"
+                )
+            structs = ", ".join(
+                "named_struct('d', "
+                + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
+                + f", 'n', {-lid})"
+                for lid, c in cent_rows
+            )
+            assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
+            assigned = e.select(
+                "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
+            )
+            if len(pmap) < len(cent_rows):
+                assigned = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
+            raw = _list_score_kernel(assigned, probes_map=pmap)
+        scored = raw.select(
+            "probe_id",
+            "neighbor_id",
+            F.round("cos_raw", 5).alias("cos_sim"),
+            "list_id",
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
     # dim probe skips NULL embeddings: size(NULL) is NULL, and the row
     # the scan happens to return first need not be clean (review r6)
     first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
@@ -744,21 +971,6 @@ def ann_ivf_topk(
             [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
         )
     dim = first["d"]
-    if centroids is not None:
-        spark = embeddings_df.sparkSession
-        cents = spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in centroids],
-            "list_id long, c array<double>",
-        )
-    else:
-        cents = (
-            e.groupBy("label")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(dim)])
-            .select(
-                F.col("label").alias("list_id"),
-                F.array(*[f"_c{i}" for i in range(dim)]).alias("c"),
-            )
-        )
     # corpus-side assignment is MAP-ONLY (r4): the old plan crossJoined
     # every vector with the k-row centroid table and ran a row_number
     # window over vec_id — an N x k explode plus a FULL SHUFFLE of the
@@ -775,18 +987,16 @@ def ann_ivf_topk(
     # size (2.1x at 200k rows), and the expression's Janino compile
     # fails hard past a few thousand terms; the expr stays as the
     # explicit zero-Python-plan option below the cap.
+    spark = embeddings_df.sparkSession
     if centroids is not None:
         cent_rows = sorted((int(i), [float(x) for x in c]) for i, c in centroids)
     else:
-        cent_rows = sorted(
-            (int(r["list_id"]), [float(x) for x in r["c"]]) for r in cents.collect()
-        )
-        # the probe-side broadcast must reuse the SAME collected values:
-        # re-evaluating the avg aggregation lazily would both pay the
-        # full-corpus job twice and risk one-ulp drift between the
-        # probe ranking and the literal corpus assignment
-        spark = embeddings_df.sparkSession
-        cents = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
+        # ONE kernel pass computes the per-label means (r7, see
+        # _label_centroids); probe ranking and corpus assignment both
+        # reuse the SAME collected values, so there is no per-ulp
+        # drift between the two consumers
+        cent_rows = _label_centroids(e, dim)
+    cents = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
     if assign_transport == "auto":
         # measured, not guessed: the kernel won the interleaved A/B at
         # every corpus/quantizer size tested (see docstring) AND is the
@@ -811,51 +1021,7 @@ def ann_ivf_topk(
             "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
         )
     else:
-        assigned = None if probe_transport == "closure" else _assign_kernel(e, cent_rows)
-    if probe_transport == "closure":
-        # probes collected eagerly (small Arrow job; NULL embeddings
-        # are skipped like the dim probe — the lazy transports would
-        # crash on them at np.vstack time), ranked in numpy
-        # (bit-identical to the window form, see _rank_probes_local),
-        # matrices ride the task closure.
-        ppdf = (
-            e.filter(probe_filter)
-            .filter(F.col("v").isNotNull())
-            .select("vec_id", "v")
-            .toPandas()
-        )
-        pmap = _rank_probes_local(cent_rows, ppdf, nprobe)
-        spark = embeddings_df.sparkSession
-        if not pmap:
-            return spark.createDataFrame(
-                [], "probe_id long, neighbor_id long, cos_sim double, list_id long"
-            )
-        if assigned is None:
-            # fused single-pass form: assign + score + quantum-safe
-            # top-k prune in ONE corpus Arrow trip
-            raw = _assign_score_kernel(e, cent_rows, pmap, k)
-        else:
-            # expr assignment stays all-JVM; scoring reads the closure
-            # matrices (narrow candidate rows, no _probes duplication)
-            if len(pmap) < len(cent_rows):
-                assigned = assigned.filter(
-                    F.col("list_id").isin([int(k_) for k_ in pmap])
-                )
-            raw = _list_score_kernel(assigned, probes_map=pmap)
-        scored = raw.select(
-            "probe_id",
-            "neighbor_id",
-            F.round("cos_raw", 5).alias("cos_sim"),
-            "list_id",
-        )
-        w = Window.partitionBy("probe_id").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id")
-        )
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .drop("_rk")
-        )
+        assigned = _assign_kernel(e, cent_rows)
     # probe-side ranking keeps the window — probes are the filtered
     # small side, and it needs the full top-nprobe order, not argmax
     scored_lists = (
