@@ -58,6 +58,25 @@ class TestCheckpoint:
         pipe2.stage("s", lambda: D.images(spark, sf_dir).select("image_key").filter("image_key % 2 = 0"))
         assert not pipe2.results["s"].resumed  # fingerprint changed -> recomputed
 
+    def test_rename_only_edit_invalidates(self, spark, sf_dir, tmp_path):
+        """ADVICE r6 #1: canonicalization erases output attribute
+        names, so a stage edit that only RENAMES an output column used
+        to share the old fingerprint and silently resume the stale
+        parquet carrying the old name. The schema.simpleString() fold
+        must catch it."""
+        root = str(tmp_path / "ckpt_rename")
+        pipe = CheckpointedPipeline(spark, root)
+        pipe.stage("s", lambda: D.images(spark, sf_dir).select("image_key"))
+        pipe2 = CheckpointedPipeline(spark, root)
+        df = pipe2.stage(
+            "s",
+            lambda: D.images(spark, sf_dir).select(
+                F.col("image_key").alias("img_id")
+            ),
+        )
+        assert not pipe2.results["s"].resumed
+        assert df.columns == ["img_id"]
+
     def test_regenerated_source_invalidates(self, spark, tmp_path):
         """r5 review: a ROOT stage's raw parquet regenerated with new
         rows (same schema, same path) must rebuild, not resume stale —

@@ -650,6 +650,36 @@ class TestBlockedTopK:
         out = embed_topk_blocked(D.load(spark, sf_dir, "embeddings"), probe_filter="vec_id < 0")
         assert out.count() == 0
 
+    def test_null_embedding_probe_skipped(self, spark, sf_dir):
+        """ADVICE r6 #4: a NULL-embedding row matching probe_filter
+        crashed the probe ingestion at np.vstack; it must be skipped
+        like the dim probe skips it, leaving the non-null probes'
+        rows unchanged."""
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import embed_topk_blocked
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        nulled = emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 100, F.lit(None)).otherwise(F.col("embedding")),
+        )
+        clean = {
+            (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+            for r in embed_topk_blocked(
+                emb.filter("vec_id <> 100"), probe_filter="vec_id % 100 = 0"
+            ).collect()
+        }
+        dirty = {
+            (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+            for r in embed_topk_blocked(nulled, probe_filter="vec_id % 100 = 0").collect()
+        }
+        # probe 100 is skipped in both forms; candidate sets differ by
+        # one row (100 absent vs NULL) which the kernel also skips via
+        # the NULL row never reaching a block, so rows must agree
+        assert dirty == clean and len(dirty) > 0
+
     def test_probe_byte_cap_refuses(self, spark, sf_dir):
         """The probe ingestion is byte-capped like the kNN candidate
         ingestion (VERDICT r5 Wrong #4): an over-cap probe set must

@@ -134,6 +134,12 @@ class CheckpointedPipeline:
             plan_str = qe.analyzed().canonicalized().toString()
         except Exception:  # canonicalization unavailable: legacy strip
             plan_str = re.sub(r"#\d+", "#", qe.logical().toString())
+        # output names + types fold into the fingerprint (ADVICE r6
+        # #1): canonicalization erases attribute names for sameResult,
+        # so a stage edit that only RENAMES output columns produced an
+        # identical fingerprint and silently resumed the stale parquet
+        # carrying the old names
+        plan_str += "|" + df.schema.simpleString()
         fp = self._fingerprint(name, list(deps), plan_str + self._source_identity(df))
 
         meta_path = self._meta_path(name)

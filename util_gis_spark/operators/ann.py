@@ -1296,8 +1296,11 @@ def embed_topk_blocked(
     if first is None:
         return spark.createDataFrame([], schema)
     cap_rows = max(max_probe_bytes // (8 * int(first["d"]) + 8), 1)
+    # NULL embeddings are skipped like the dim probe above (ADVICE r6
+    # #4): a NULL v row matching probe_filter crashed np.vstack below
     cpdf = (
         e.filter(probe_filter)
+        .filter(F.col("v").isNotNull())
         .limit(cap_rows + 1)
         .toPandas()
         .sort_values("vec_id")
@@ -1324,6 +1327,11 @@ def embed_topk_blocked(
         def score(batches, _bc=bc, _k=k):
             pid, pm_n = _bc.value
             for pdf in batches:
+                # NULL-embedding candidates can never be a neighbor —
+                # drop them instead of crashing np.vstack (ADVICE r6
+                # #4 made the probe side skip them; the candidate side
+                # must degrade the same way)
+                pdf = pdf[pdf["v"].notna()]
                 if len(pdf) == 0:
                     continue
                 cid = pdf["vec_id"].to_numpy(np.int64)
