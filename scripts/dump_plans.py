@@ -159,21 +159,21 @@ def main() -> None:
     sections.append(
         (
             "ANN: IVF list scan + exact re-rank (label quantizer)",
-            "Verify (r6 join-default shape): (1) ONE corpus scan with "
-            "assignment as the map-only Arrow argmax kernel "
-            "(MapInPandas directly over the scan, no Exchange to "
-            "assign — the measured default since r6: 2.1x faster than "
-            "the literal greatest() expression at 200k vectors, which "
-            "remains the explicit zero-Python option below its "
-            "compile cap); (2) the per-list probe matrices "
-            "attach via a BroadcastHashJoin on list_id (inner — "
-            "unprobed lists drop at the join) feeding MapInPandas; "
-            "(3) the only shuffle Exchange is the final per-probe "
-            "top-k window; (4) probe_transport='broadcast' replaces "
-            "the join with an isin filter + sc.broadcast read inside "
-            "the kernel — the high-probe-density shape; the tradeoff "
-            "and measured crossover live in operators/ann.py and "
-            "scripts/bench_ivf_transport.py.",
+            "Verify (r7 closure-default shape): (1) ONE corpus scan "
+            "feeding ONE fused MapInPandas (assign + per-list score + "
+            "quantum-safe top-k prune; the per-list probe matrices and "
+            "the centroid matrix ride the task closure — no "
+            "BroadcastHashJoin attaching _probes, no second Arrow "
+            "round-trip between assignment and scoring); (2) the ONLY "
+            "shuffle Exchange is the final per-probe top-k window, "
+            "over the pruned candidate superset; (3) the probe rows "
+            "and the label-centroid partials were collected in one "
+            "prior bounded pass (not visible in this lazy plan); "
+            "(4) probe_transport='join'/'broadcast' keep the r6 "
+            "shapes — the three-way tradeoff and measured crossover "
+            "live in operators/ann.py and "
+            "scripts/bench_ivf_transport.py (closure 6.9 s vs join "
+            "19.0 s at 200k vectors, interleaved).",
             plan_of(ann_ivf_topk(emb)),
         )
     )
@@ -185,12 +185,15 @@ def main() -> None:
     sections.append(
         (
             "Dedup: MinHash-LSH band join (single explode)",
-            "Verify: (1) the signature kernel (MapInPandas) appears ONCE "
-            "per join side, not once per band — bands come from ONE "
-            "explode of the 4-entry band array; (2) the band self-join "
-            "shuffles only the NARROW (doc_id, band, bh) projection; (3) "
-            "the Jaccard verify re-attaches the wide hash arrays by doc_id "
-            "join AFTER candidate dedup.",
+            "Verify: (1) the signature kernel (MapInPandas) is ONE "
+            "persisted InMemoryRelation node referenced by all four "
+            "consumers (both band-join sides + both verify joins) — "
+            "r7 auto-persist; before it, the kernel subplan was "
+            "evaluated four times per query. Bands still come from "
+            "ONE explode of the 4-entry band array; (2) the band "
+            "self-join shuffles only the NARROW (doc_id, band, bh) "
+            "projection; (3) the Jaccard verify re-attaches the wide "
+            "hash arrays by doc_id join AFTER candidate dedup.",
             plan_of(minhash_near_dup_pairs(docs)),
         )
     )
