@@ -191,15 +191,16 @@ def band_table_expr() -> str:
 _AUTO_SIG_CACHES: list = []
 
 
-def _auto_persist_sig(base: DataFrame) -> DataFrame:
+def _auto_persist_sig(base: DataFrame, fresh: bool = True) -> DataFrame:
     from pyspark import StorageLevel
 
-    while _AUTO_SIG_CACHES:
-        old = _AUTO_SIG_CACHES.pop()
-        try:
-            old.unpersist(False)
-        except Exception:
-            pass  # its session may already be stopped
+    if fresh:
+        while _AUTO_SIG_CACHES:
+            old = _AUTO_SIG_CACHES.pop()
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass  # its session may already be stopped
     cache = base.persist(StorageLevel.MEMORY_AND_DISK)
     _AUTO_SIG_CACHES.append(cache)
     return cache
@@ -274,6 +275,13 @@ def minhash_near_dup_pairs(
             .filter(F.col("_bn") <= max_band_bucket)
             .drop("_bn")
         )
+        if persist is None:
+            # the window-capped bands feed BOTH self-join sides; with
+            # only the signature table cached below, the count window
+            # (shuffle + sort over every band row) re-ran once per
+            # side — cache the capped bands too (registered alongside
+            # this call's sig cache, released by the next auto call)
+            bands = _auto_persist_sig(bands, fresh=False)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
