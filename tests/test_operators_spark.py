@@ -258,6 +258,40 @@ class TestAnnIvf:
         bcast_df.probes_bc.destroy()
         assert jn == bc
 
+    def test_transports_agree_on_degenerate_rows(self, spark, sf_dir):
+        """r7 review guards: a NULL embedding row must be SKIPPED (not
+        crash np.vstack) by every kernel, and a zero-norm vector's NaN
+        cosine must survive the closure path's top-k prune exactly as
+        the unfused kernels emit it (Spark ranks NaN first under desc,
+        so silently dropping it would diverge the transports)."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from util_gis_spark import datasets as D
+        from util_gis_spark.operators.ann import ann_ivf_topk
+
+        emb = D.load(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        dirty = emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 7, F.lit(None))
+            .when(
+                F.col("vec_id") == 11,
+                F.array(*[F.lit(0.0) for _ in range(dim)]),
+            )
+            .otherwise(F.col("embedding").cast("array<double>")),
+        )
+        key = lambda r: (
+            r["probe_id"],
+            r["neighbor_id"],
+            r["list_id"],
+            "nan" if (r["cos_sim"] is not None and math.isnan(r["cos_sim"])) else r["cos_sim"],
+        )
+        jn = sorted(key(r) for r in ann_ivf_topk(dirty, probe_transport="join").collect())
+        cl = sorted(key(r) for r in ann_ivf_topk(dirty, probe_transport="closure").collect())
+        assert jn == cl and jn
+
     def test_probe_transport_validated(self, spark, sf_dir):
         import pytest
 

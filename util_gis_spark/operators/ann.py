@@ -131,6 +131,9 @@ def lsh_signatures_kernel(
     def run(batches):
         planes = None
         for pdf in batches:
+            # NULL embeddings: skip — the Column form's posexplode of
+            # a NULL bucket array yields zero rows for them anyway
+            pdf = pdf[pdf["v"].notna()]
             if len(pdf) == 0:
                 continue
             m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
@@ -485,6 +488,10 @@ def _assign_score_kernel(
 
     def run(batches):
         for pdf in batches:
+            # NULL embeddings can never be neighbors: skip them like
+            # the probe/centroid pass does (r7 review — every sibling
+            # kernel degrades the same way instead of crashing vstack)
+            pdf = pdf[pdf["v"].notna()]
             if len(pdf) == 0:
                 continue
             V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # n x dim
@@ -512,11 +519,16 @@ def _assign_score_kernel(
                     bn = bn + B[:, d] * B[:, d]
                 cos = dot2 / (np.sqrt(pn)[:, None] * np.sqrt(bn)[None, :])
                 keep = pids[:, None] != sub_ids[None, :]
-                # per-probe quantum-safe top-k cut (see docstring)
+                # per-probe quantum-safe top-k cut (see docstring).
+                # NaN cosines (zero-norm vectors: 0/0) are KEPT — the
+                # unfused kernels emit them and Spark's descending
+                # order ranks NaN first, so dropping them here would
+                # break transport parity on degenerate corpora
+                # (r7 review; parity test covers a zero vector).
                 masked = np.where(keep, cos, -np.inf)
                 kk = min(k, nb)
                 kth = -np.partition(-masked, kk - 1, axis=1)[:, kk - 1]
-                keep &= cos >= (kth[:, None] - 1e-5)
+                keep &= (cos >= (kth[:, None] - 1e-5)) | np.isnan(cos)
                 pi, bi = np.nonzero(keep)
                 if not len(pi):
                     continue
@@ -578,6 +590,7 @@ def _list_score_kernel(cand: DataFrame, probes_bc=None, probes_map: dict | None 
     def run(batches):
         pmap = probes_bc.value if probes_bc is not None else probes_map
         for pdf in batches:
+            pdf = pdf[pdf["v"].notna()]  # NULL rows: skip, don't crash
             if len(pdf) == 0:
                 continue
             out_p, out_n, out_l, out_c = [], [], [], []
@@ -784,6 +797,7 @@ def _assign_kernel(e: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> Da
 
     def run(batches):
         for pdf in batches:
+            pdf = pdf[pdf["v"].notna()]  # NULL rows: skip, don't crash
             if len(pdf) == 0:
                 continue
             V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # n x dim
@@ -800,6 +814,45 @@ def _assign_kernel(e: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> Da
             )
 
     return e.select("vec_id", "v").mapInPandas(run, schema=schema)
+
+
+def _assign_expr_df(e: DataFrame, cent_rows: list[tuple[int, list[float]]], dim: int) -> DataFrame:
+    """(vec_id, v, list_id) via the literal greatest() codegen
+    expression — the all-JVM zero-Python assignment form, shared by
+    every probe transport (one definition so the compile-cap check and
+    the (dot, -list_id) struct encoding cannot drift between
+    branches). Refuses above _ASSIGN_EXPR_MAX_TERMS, the measured
+    Janino OOM cliff."""
+    if len(cent_rows) * dim > _ASSIGN_EXPR_MAX_TERMS:
+        raise ValueError(
+            f"assign_transport='expr' with {len(cent_rows)} lists x {dim} dims = "
+            f"{len(cent_rows) * dim} unrolled terms > {_ASSIGN_EXPR_MAX_TERMS}: "
+            "the literal expression's Janino compile fails hard past this "
+            "(300x64 OOMs a 48 GiB driver); use 'kernel' (bit-identical)"
+        )
+    structs = ", ".join(
+        "named_struct('d', "
+        + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
+        + f", 'n', {-lid})"
+        for lid, c in cent_rows
+    )
+    assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
+    return e.select(
+        "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
+    )
+
+
+def _ivf_topk_rows(raw: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every IVF transport: JVM 5-dp round (oracle
+    HALF_UP semantics) + per-probe (cos desc, neighbor_id) top-k."""
+    scored = raw.select(
+        "probe_id",
+        "neighbor_id",
+        F.round("cos_raw", 5).alias("cos_sim"),
+        "list_id",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
 def ann_ivf_topk(
@@ -900,17 +953,25 @@ def ann_ivf_topk(
     )
     if probe_transport == "closure":
         # the closure path runs TWO jobs total (r7: job-launch
-        # overhead, not compute, dominated the bench shape): (1) one
-        # combined corpus pass collects the probe rows AND the
-        # label-centroid partials (skipped when explicit centroids are
-        # passed) — it also answers the dim question and the
+        # overhead, not compute, dominated the bench shape): (1) the
+        # probe collect — on the label path, one combined corpus pass
+        # yields probe rows AND centroid partials; with explicit
+        # centroids, a plain JVM filter transfers only the probe rows
+        # (no Arrow pass over the corpus just to tag probes — r7
+        # review). Either way it answers the dim question and the
         # empty-input early exit, replacing the separate first()
         # probe; (2) the fused assign+score pass + top-k. NULL-
         # embedding probes are skipped like the old dim probe — the
         # lazy transports would crash on them at np.vstack time.
-        ppdf, partials = _probes_and_label_partials(
-            e, probe_filter, need_cents=centroids is None
-        )
+        if centroids is None:
+            ppdf, partials = _probes_and_label_partials(e, probe_filter, need_cents=True)
+        else:
+            ppdf = (
+                e.filter(probe_filter)
+                .filter(F.col("v").isNotNull())
+                .select("vec_id", "v")
+                .toPandas()
+            )
         spark = embeddings_df.sparkSession
         empty = "probe_id long, neighbor_id long, cos_sim double, list_id long"
         if len(ppdf) == 0:  # empty corpus or nothing matched the filter
@@ -928,40 +989,11 @@ def ann_ivf_topk(
             # top-k prune in ONE corpus Arrow trip
             raw = _assign_score_kernel(e, cent_rows, pmap, k)
         else:  # "expr": all-JVM assignment, closure-matrix scoring
-            if len(cent_rows) * dim > _ASSIGN_EXPR_MAX_TERMS:
-                raise ValueError(
-                    f"assign_transport='expr' with {len(cent_rows)} lists x {dim} dims = "
-                    f"{len(cent_rows) * dim} unrolled terms > {_ASSIGN_EXPR_MAX_TERMS}: "
-                    "the literal expression's Janino compile fails hard past this "
-                    "(300x64 OOMs a 48 GiB driver); use 'kernel' (bit-identical)"
-                )
-            structs = ", ".join(
-                "named_struct('d', "
-                + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
-                + f", 'n', {-lid})"
-                for lid, c in cent_rows
-            )
-            assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
-            assigned = e.select(
-                "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
-            )
+            assigned = _assign_expr_df(e, cent_rows, dim)
             if len(pmap) < len(cent_rows):
                 assigned = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
             raw = _list_score_kernel(assigned, probes_map=pmap)
-        scored = raw.select(
-            "probe_id",
-            "neighbor_id",
-            F.round("cos_raw", 5).alias("cos_sim"),
-            "list_id",
-        )
-        w = Window.partitionBy("probe_id").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id")
-        )
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .drop("_rk")
-        )
+        return _ivf_topk_rows(raw, k)
     # dim probe skips NULL embeddings: size(NULL) is NULL, and the row
     # the scan happens to return first need not be clean (review r6)
     first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
@@ -1003,23 +1035,7 @@ def ann_ivf_topk(
         # only form that exists past the expr's compile cliff
         assign_transport = "kernel"
     if assign_transport == "expr":
-        if len(cent_rows) * dim > _ASSIGN_EXPR_MAX_TERMS:
-            raise ValueError(
-                f"assign_transport='expr' with {len(cent_rows)} lists x {dim} dims = "
-                f"{len(cent_rows) * dim} unrolled terms > {_ASSIGN_EXPR_MAX_TERMS}: "
-                "the literal expression's Janino compile fails hard past this "
-                "(300x64 OOMs a 48 GiB driver); use 'kernel' (bit-identical)"
-            )
-        structs = ", ".join(
-            "named_struct('d', "
-            + " + ".join(f"v[{i}] * {c[i]!r}" for i in range(dim))
-            + f", 'n', {-lid})"
-            for lid, c in cent_rows
-        )
-        assign_expr = f"greatest({structs})" if len(cent_rows) > 1 else f"({structs})"
-        assigned = e.select(
-            "vec_id", "v", (-F.expr(assign_expr).getField("n")).cast("long").alias("list_id")
-        )
+        assigned = _assign_expr_df(e, cent_rows, dim)
     else:
         assigned = _assign_kernel(e, cent_rows)
     # probe-side ranking keeps the window — probes are the filtered
@@ -1082,14 +1098,7 @@ def ann_ivf_topk(
             cand = assigned.filter(F.col("list_id").isin([int(k_) for k_ in pmap]))
         else:
             cand = assigned
-    scored = _list_score_kernel(cand, probes_bc).select(
-        "probe_id",
-        "neighbor_id",
-        F.round("cos_raw", 5).alias("cos_sim"),
-        "list_id",
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    out = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    out = _ivf_topk_rows(_list_score_kernel(cand, probes_bc), k)
     if probes_bc is not None:
         # the broadcast lives until the caller destroys it — carried as
         # `.probes_bc` (the `.sig_cache` convention) so sessions

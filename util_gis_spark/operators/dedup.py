@@ -188,6 +188,13 @@ def band_table_expr() -> str:
 # recomputes (correctness unaffected). This is per-invocation work on
 # the operator's own intermediate — nothing survives or is keyed
 # across invocations.
+#
+# Composition caveat (r7 review): eviction happens at CONSTRUCTION
+# time, so building several dedup results lazily and consuming them
+# later leaves only the last-constructed one cached (earlier ones
+# recompute — correct, just unaccelerated). Construct-then-consume
+# each result, or pass persist=True and manage .sig_cache yourself,
+# when composing multiple dedup operators in one plan.
 _AUTO_SIG_CACHES: list = []
 
 
@@ -275,12 +282,14 @@ def minhash_near_dup_pairs(
             .filter(F.col("_bn") <= max_band_bucket)
             .drop("_bn")
         )
-        if persist is None:
+        if cache is not None:
             # the window-capped bands feed BOTH self-join sides; with
             # only the signature table cached below, the count window
             # (shuffle + sort over every band row) re-ran once per
-            # side — cache the capped bands too (registered alongside
-            # this call's sig cache, released by the next auto call)
+            # side — cache the capped bands too whenever signature
+            # caching is on (auto OR manual persist=True; registered
+            # alongside this call's sig cache, released by the next
+            # auto call)
             bands = _auto_persist_sig(bands, fresh=False)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")

@@ -1158,9 +1158,13 @@ def knn_join(
     )
     # ONE bounded ingestion job doubles as the size probe (r7): the old
     # limit-count probe evaluated the whole candidate subplan (scan +
-    # filters + window) a second time before the Arrow collect re-ran
-    # it — limit(cap+1) bounds the transfer exactly like the count did,
-    # and len() answers the dispatch question from the same job.
+    # filters + window) once for the count and again for the Arrow
+    # collect. Trade-off: an OVER-cap candidate set now transfers its
+    # first cap+1 rows (<= max_broadcast_bytes, ~48 MB) before
+    # dispatching to the cells ladder — the old count moved no rows on
+    # that path — but the common under-cap call pays one subplan
+    # evaluation instead of two, and the ladder it dispatches to dwarfs
+    # one bounded transfer.
     cpdf = candidates_df.select(cand_id_col, "lon", "lat").limit(cap_rows + 1).toPandas()
     n_cand = len(cpdf)
     if n_cand == 0:
